@@ -1,0 +1,156 @@
+"""Sharded batch encode: shard_map over a ('data', 'row') mesh.
+
+Parallel decomposition (SURVEY §2.14 mapping table, BASELINE.json configs
+4-5): image batches shard over 'data'; within an image, MCU rows shard over
+'row'. Restart-interval segmentation makes entropy coding embarrassingly
+parallel — each segment resets the DC predictor and is byte-aligned, so a
+shard owning whole segments needs NO sequential coupling with its neighbors
+(the restart mechanism exists precisely to break the DC chain, SURVEY §2.14).
+Cross-shard work is pure collectives: an all_gather of per-shard byte counts
+over ICI computes every shard's output byte offset, and a psum yields the
+total scan size, so the host can splice RST markers without a serial pass.
+
+Constraint (round 1): restart segments must not cross row-shard boundaries
+(restart_interval='rows' guarantees this). Segment-crossing shards would need
+bit-level stream merging; that is what DC-boundary ppermute exchange +
+bit-shift merge would buy and is deliberately out of scope until needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from jpegtpu.config import EncoderConfig
+from jpegtpu.container import jfif
+from jpegtpu.core import ops
+from jpegtpu.dist import mesh as mesh_lib
+from jpegtpu.encoder import _device_encode
+
+
+def _shard_fn(imgs, *, quality, subsampling, restart, n_seg_local,
+              blocks_per_seg, use_pallas, mesh):
+    """Per-shard body: imgs [b_loc, h_loc, W, 3] (pre-padded; h_loc a
+    multiple of the MCU size). Returns per-shard stuffed segments plus
+    ICI-computed global offsets."""
+    enc = functools.partial(
+        _device_encode, quality=quality, subsampling=subsampling,
+        restart=restart, n_seg=n_seg_local, blocks_per_seg=blocks_per_seg,
+        use_pallas=use_pallas)
+    stuffed, nbytes, seg_bits = jax.vmap(enc)(imgs)
+
+    # Global segment byte offsets: all_gather per-shard totals over the ICI
+    # 'row' axis, exclusive-sum below my index; then psum for the total.
+    local_total = jnp.sum(nbytes, axis=1)                    # [b_loc]
+    totals = jax.lax.all_gather(local_total, mesh_lib.ROW_AXIS)  # [n_row, b_loc]
+    my = jax.lax.axis_index(mesh_lib.ROW_AXIS)
+    below = jnp.sum(jnp.where(
+        jnp.arange(totals.shape[0])[:, None] < my, totals, 0), axis=0)
+    offsets = below[:, None] + jnp.cumsum(nbytes, axis=1) - nbytes
+    grand_total = jax.lax.psum(local_total, mesh_lib.ROW_AXIS)
+    return stuffed, nbytes, offsets, grand_total
+
+
+@functools.lru_cache(maxsize=16)
+def _build_sharded(mesh_key, shape: Tuple[int, int, int], cfg: EncoderConfig):
+    """Compile the sharded encode for (B, H_pad, W_pad) under a mesh."""
+    mesh = _MESHES[mesh_key]
+    b, h, w = shape
+    n_row = mesh.shape[mesh_lib.ROW_AXIS]
+    mcu = cfg.mcu_size
+    if h % (n_row * mcu):
+        raise ValueError(f"padded H {h} must divide into {n_row} row shards "
+                         f"of whole MCU rows")
+    h_loc = h // n_row
+    my_loc, mx = ops.mcu_grid(h_loc, w, cfg.subsampling)
+    restart = cfg.resolve_restart(mx)
+    if restart <= 0 or mx % restart:
+        raise ValueError(
+            "sharded encode requires restart segments that do not cross "
+            "row shards (use restart_interval='rows' or a divisor of the "
+            "MCUs-per-row count)")
+    n_seg_local = my_loc * (mx // restart)
+    blocks_per_seg = restart * cfg.blocks_per_mcu
+
+    fn = functools.partial(
+        _shard_fn, quality=cfg.quality, subsampling=cfg.subsampling,
+        restart=restart, n_seg_local=n_seg_local,
+        blocks_per_seg=blocks_per_seg, use_pallas=cfg.use_pallas, mesh=mesh)
+    sharded = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS, None, None),
+        out_specs=(P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS, None),
+                   P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
+                   P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
+                   P(mesh_lib.DATA_AXIS)),
+        check_vma=False)
+    return jax.jit(sharded), restart
+
+
+_MESHES = {}
+
+
+def _mesh_key(mesh) -> tuple:
+    key = (tuple(mesh.shape.items()), tuple(d.id for d in mesh.devices.flat))
+    _MESHES[key] = mesh
+    return key
+
+
+def encode_batch_sharded(imgs: np.ndarray, cfg: EncoderConfig, mesh):
+    """uint8 [B, H, W, 3] -> list of complete JPEG byte strings.
+
+    B must divide by the 'data' axis size. Images are mirror-padded on host
+    to make H divide into whole-MCU row shards.
+    """
+    b, h, w = imgs.shape[:3]
+    n_row = mesh.shape[mesh_lib.ROW_AXIS]
+    mcu = cfg.mcu_size
+    mult_h, mult_w = n_row * mcu, mcu
+    ph, pw = (-h) % mult_h, (-w) % mult_w
+    if ph or pw:
+        imgs = np.pad(imgs, [(0, 0), (0, ph), (0, pw), (0, 0)],
+                      mode="symmetric")
+    hp, wp = h + ph, w + pw
+
+    fn, restart = _build_sharded(_mesh_key(mesh), (b, hp, wp), cfg)
+    stuffed, nbytes, offsets, total = fn(jnp.asarray(imgs))
+    stuffed = np.asarray(stuffed).reshape(b, -1, stuffed.shape[-1])
+    nbytes = np.asarray(nbytes).reshape(b, -1)
+
+    out = []
+    for i in range(b):
+        parts = []
+        n_seg = nbytes.shape[1]
+        for s in range(n_seg):
+            parts.append(stuffed[i, s, :int(nbytes[i, s])].tobytes())
+            if s != n_seg - 1:
+                parts.append(bytes((0xFF, 0xD0 + (s % 8))))
+        out.append(jfif.wrap_jpeg(h, w, cfg.quality, cfg.subsampling,
+                                  restart, b"".join(parts)))
+    return out
+
+
+def dryrun(n_devices: int) -> None:
+    """Compile + execute ONE sharded encode step on tiny shapes over an
+    n_devices mesh (driver validation hook; runs on virtual CPU devices)."""
+    devices = jax.devices()[:n_devices]
+    n_row = 1
+    for cand in (8, 4, 2, 1):
+        if n_devices % cand == 0 and cand <= n_devices:
+            n_row = cand
+            break
+    m = mesh_lib.make_mesh(n_devices // n_row, n_row, devices=devices)
+    cfg = EncoderConfig(quality=75, subsampling="420",
+                        restart_interval="rows")
+    b = m.shape[mesh_lib.DATA_AXIS] * 2
+    h, w = 16 * n_row, 32
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+    jpegs = encode_batch_sharded(imgs, cfg, m)
+    assert len(jpegs) == b
+    assert all(j[:2] == b"\xff\xd8" and j[-2:] == b"\xff\xd9" for j in jpegs)

@@ -30,18 +30,18 @@ from jpegtpu.config import EncoderConfig
 from jpegtpu.container import jfif
 from jpegtpu.core import ops
 from jpegtpu.dist import mesh as mesh_lib
-from jpegtpu.encoder import _device_encode
+from jpegtpu.encoder import _device_encode_xla
 
 
 def _shard_fn(imgs, *, quality, subsampling, restart, n_seg_local,
-              blocks_per_seg, use_pallas, mesh):
+              mcus_per_seg, use_pallas, mesh):
     """Per-shard body: imgs [b_loc, h_loc, W, 3] (pre-padded; h_loc a
     multiple of the MCU size). Returns per-shard stuffed segments plus
     ICI-computed global offsets."""
     enc = functools.partial(
-        _device_encode, quality=quality, subsampling=subsampling,
-        restart=restart, n_seg=n_seg_local, blocks_per_seg=blocks_per_seg,
-        use_pallas=use_pallas)
+        _device_encode_xla, quality=quality, subsampling=subsampling,
+        restart=restart, n_seg=n_seg_local, mcus_per_seg=mcus_per_seg,
+        use_fused=use_pallas)
     stuffed, nbytes, seg_bits = jax.vmap(enc)(imgs)
 
     # Global segment byte offsets: all_gather per-shard totals over the ICI
@@ -75,12 +75,11 @@ def _build_sharded(mesh_key, shape: Tuple[int, int, int], cfg: EncoderConfig):
             "row shards (use restart_interval='rows' or a divisor of the "
             "MCUs-per-row count)")
     n_seg_local = my_loc * (mx // restart)
-    blocks_per_seg = restart * cfg.blocks_per_mcu
 
     fn = functools.partial(
         _shard_fn, quality=cfg.quality, subsampling=cfg.subsampling,
         restart=restart, n_seg_local=n_seg_local,
-        blocks_per_seg=blocks_per_seg, use_pallas=cfg.use_pallas, mesh=mesh)
+        mcus_per_seg=restart, use_pallas=cfg.use_pallas, mesh=mesh)
     sharded = jax.shard_map(
         fn, mesh=mesh,
         in_specs=P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS, None, None),

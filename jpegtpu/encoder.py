@@ -3,11 +3,21 @@
 The TPU-native replacement for the reference's driver (JpegEncoderHost +
 main, src/OpenCLProject_JpegEncoder.cpp:28-633). Where the reference
 round-trips through host memory between every stage (SURVEY §3.1), here the
-whole pipeline — color transform, subsampling, fused DCT/quant/zigzag,
-RLE/Huffman symbolization and bitstream packing — is ONE jit-compiled device
-program; the host only supplies pixels and receives stuffed entropy segments
-to splice between markers. And unlike the reference, the output is a real,
-decodable JPEG file (SURVEY §2.10).
+whole pipeline — fused pixel-path matmul, RLE/Huffman symbolization and
+bitstream packing — is ONE jit-compiled device program; the host only
+supplies pixels and receives packed entropy segments to stuff and splice
+between markers (C++ fast path, jpegtpu.native). And unlike the reference,
+the output is a real, decodable JPEG file (SURVEY §2.10).
+
+Two interchangeable entropy back-ends (bit-identical, tests enforce):
+  * Pallas kernels (jpegtpu.kernels.entropy_pack) — production TPU path;
+  * the XLA scatter formulation (jpegtpu.entropy.scan/assemble) — oracle,
+    and the default off-TPU.
+
+Device->host traffic is kept small with a per-block bit-budget: segments are
+packed into a buffer sized for `bits_budget` bits/block (default 4x typical),
+and the rare image that overflows escalates to the worst-case bound
+(MAX_BITS_PER_BLOCK) and re-runs — correctness is unconditional.
 """
 
 from __future__ import annotations
@@ -19,54 +29,103 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jpegtpu import native
 from jpegtpu.config import EncoderConfig
 from jpegtpu.container import jfif
 from jpegtpu.core import ops
 from jpegtpu.entropy import assemble, scan
+from jpegtpu.entropy.assemble import MAX_BITS_PER_BLOCK
+
+# Default per-block bit budget for device buffers (~4x typical q90 usage).
+DEFAULT_BITS_BUDGET = 384
 
 
-def _device_encode(img: jax.Array, *, quality: int, subsampling: str,
-                   restart: int, n_seg: int, blocks_per_seg: int,
-                   use_pallas: bool):
-    """The fused device program: pixels -> packed stuffed segments.
-
-    img: uint8 [H, W, 3] (H, W already arbitrary; padding happens inside).
-    Returns (stuffed [n_seg, cap] uint8, stuffed_nbytes [n_seg] i32,
-    seg_bits [n_seg] i32).
-    """
-    n_luma = 4 if subsampling == "420" else 1
-    if use_pallas:
+def _pixel_path(img, quality: str, subsampling: str, use_fused: bool):
+    if use_fused:
         from jpegtpu.kernels import fused_dctq
-        coeffs = fused_dctq.encode_blocks(img, quality, subsampling)
-    else:
-        coeffs = ops.encode_blocks(img, quality, subsampling)
+        return fused_dctq.encode_blocks(img, quality, subsampling)
+    return ops.encode_blocks(img, quality, subsampling)
+
+
+def _device_encode_xla(img, *, quality, subsampling, restart, n_seg,
+                       mcus_per_seg, use_fused):
+    """XLA-only device program -> stuffed segments (oracle/off-TPU path)."""
+    n_luma = 4 if subsampling == "420" else 1
+    coeffs = _pixel_path(img, quality, subsampling, use_fused)
     n_mcu, b, _ = coeffs.shape
     lens, bits = scan.symbolize_scan(coeffs, n_luma, restart)
-    pad = n_seg * (blocks_per_seg // b) - n_mcu
+    pad = n_seg * mcus_per_seg - n_mcu
     if pad:
         lens = jnp.concatenate(
             [lens, jnp.zeros((pad, b, 64), lens.dtype)], axis=0)
         bits = jnp.concatenate(
             [bits, jnp.zeros((pad, b, 64), bits.dtype)], axis=0)
     return assemble.pack_segments(lens.reshape(-1, 64), bits.reshape(-1, 64),
-                                  n_seg, blocks_per_seg)
+                                  n_seg, mcus_per_seg * b)
 
 
-@functools.lru_cache(maxsize=64)
-def _jitted_encode(shape: Tuple[int, int], cfg: EncoderConfig):
-    """Compiled device program for one (H, W) geometry + config."""
+def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
+                          mcus_per_seg, bits_budget, use_fused):
+    """Pallas device program -> unstuffed per-segment words + bit counts."""
+    from jpegtpu.kernels import entropy_pack
+    n_luma = 4 if subsampling == "420" else 1
+    coeffs = _pixel_path(img, quality, subsampling, use_fused)
+    n_mcu, b, _ = coeffs.shape
+    dcd = scan.dc_diffs(coeffs, n_luma, restart).reshape(-1)
+    cls = (jnp.arange(n_mcu * b, dtype=jnp.int32) % b >= n_luma)
+    words, blens = entropy_pack.block_pack(
+        coeffs.reshape(-1, 64), cls.astype(jnp.int32), dcd)
+    pad_mcu = n_seg * mcus_per_seg - n_mcu
+    if pad_mcu:  # ragged last segment: append silent (zero-length) blocks
+        words = jnp.concatenate(
+            [words, jnp.zeros((pad_mcu * b, words.shape[1]), words.dtype)])
+        blens = jnp.concatenate(
+            [blens, jnp.zeros(pad_mcu * b, blens.dtype)])
+    bps = mcus_per_seg * b
+    w_cap = -(-bps * bits_budget // 32)
+    seg_words, seg_bits = entropy_pack.seg_merge_v2(
+        words, blens, n_seg, bps, w_cap, blocks_per_mcu=b)
+    # Device compaction: only the actual compressed bytes ever cross the
+    # host link (which can be slow — e.g. a tunneled chip).
+    frames_per_seg = seg_words.shape[1] // 1024
+    stream = entropy_pack.compact_segments(seg_words, seg_bits,
+                                           frames_per_seg)
+    return stream, seg_bits
+
+
+def _geometry(shape: Tuple[int, int], cfg: EncoderConfig):
     h, w = shape
     my, mx = ops.mcu_grid(h, w, cfg.subsampling)
     n_mcu = my * mx
     restart = cfg.resolve_restart(mx)
     n_seg = -(-n_mcu // restart) if restart > 0 else 1
     mcus_per_seg = restart if restart > 0 else n_mcu
-    blocks_per_seg = mcus_per_seg * cfg.blocks_per_mcu
+    return restart, n_seg, mcus_per_seg
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_encode(shape: Tuple[int, int], cfg: EncoderConfig,
+                   bits_budget: int = 0):
+    """Compiled device program for one (H, W) geometry + config.
+
+    Returns (fn, restart, kind) with kind in {'stuffed', 'words'}.
+    """
+    restart, n_seg, mcus_per_seg = _geometry(shape, cfg)
+    use_pallas_entropy = (cfg.device_bitpack and
+                          jax.default_backend() == "tpu")
+    if use_pallas_entropy:
+        fn = functools.partial(
+            _device_encode_pallas, quality=cfg.quality,
+            subsampling=cfg.subsampling, restart=restart, n_seg=n_seg,
+            mcus_per_seg=mcus_per_seg,
+            bits_budget=bits_budget or DEFAULT_BITS_BUDGET,
+            use_fused=cfg.use_pallas)
+        return jax.jit(fn), restart, "stream"
     fn = functools.partial(
-        _device_encode, quality=cfg.quality, subsampling=cfg.subsampling,
-        restart=restart, n_seg=n_seg, blocks_per_seg=blocks_per_seg,
-        use_pallas=cfg.use_pallas)
-    return jax.jit(fn), restart, n_seg
+        _device_encode_xla, quality=cfg.quality, subsampling=cfg.subsampling,
+        restart=restart, n_seg=n_seg, mcus_per_seg=mcus_per_seg,
+        use_fused=cfg.use_pallas)
+    return jax.jit(fn), restart, "stuffed"
 
 
 class Encoder:
@@ -75,21 +134,55 @@ class Encoder:
     def __init__(self, config: EncoderConfig | None = None):
         self.config = config or EncoderConfig()
 
-    def encode_to_segments(self, img: np.ndarray):
-        """Run the device pipeline; returns (stuffed, nbytes, restart)."""
+    def _run_device(self, img: np.ndarray):
+        h, w = img.shape[:2]
+        fn, restart, kind = _jitted_encode((h, w), self.config)
+        out = fn(jnp.asarray(img))
+        if kind == "stream":
+            stream, seg_bits = out
+            seg_bits_np = np.asarray(seg_bits)     # tiny fetch, also syncs
+            frames = stream.shape[0] // seg_bits.shape[0] // 1024
+            cap_bits = (frames - 1) * 1024 * 32    # last frame is slack
+            if int(seg_bits_np.max(initial=0)) > cap_bits:
+                # Rare escalation: re-run with the worst-case budget.
+                fn, restart, kind = _jitted_encode(
+                    (h, w), self.config, MAX_BITS_PER_BLOCK)
+                stream, seg_bits = fn(jnp.asarray(img))
+                seg_bits_np = np.asarray(seg_bits)
+            return ("stream", stream, seg_bits_np, restart)
+        stuffed, nbytes, _ = out
+        return ("stuffed", stuffed, np.asarray(nbytes), restart)
+
+    # Fetch granularity for the compacted stream (u32 words = 4 MB chunks):
+    # rounding keeps the number of distinct compiled device-slice programs
+    # tiny while still transferring only ~the compressed size.
+    _FETCH_GRANULE = 1 << 20
+
+    def encode_to_scan(self, img: np.ndarray) -> Tuple[bytes, int]:
+        """Device pipeline + host assembly -> (entropy scan bytes, restart)."""
         if img.ndim != 3 or img.shape[2] != 3:
             raise ValueError(f"expected [H, W, 3] RGB, got {img.shape}")
-        h, w = img.shape[:2]
-        fn, restart, _ = _jitted_encode((h, w), self.config)
-        stuffed, nbytes, seg_bits = fn(jnp.asarray(img))
-        return stuffed, nbytes, restart
+        kind, payload, meta, restart = self._run_device(img)
+        if kind == "stream":
+            nbytes = (meta.astype(np.int64) + 7) // 8
+            total = int(nbytes.sum())
+            n_words = -(-total // 4)
+            n_fetch = min(
+                -(-n_words // self._FETCH_GRANULE) * self._FETCH_GRANULE,
+                payload.shape[0])
+            raw = np.asarray(payload[:n_fetch])
+            stream = raw.view(np.uint8)[:total]
+            scan_bytes = native.stuff_assemble_contig(
+                stream, nbytes.astype(np.int32), restart)
+        else:
+            scan_bytes = assemble.assemble_scan_host(
+                np.asarray(payload), meta, restart)
+        return scan_bytes, restart
 
     def encode(self, img: np.ndarray) -> bytes:
         """uint8 RGB [H, W, 3] -> complete JFIF/JPEG bytes."""
         h, w = img.shape[:2]
-        stuffed, nbytes, restart = self.encode_to_segments(img)
-        scan_bytes = assemble.assemble_scan_host(
-            np.asarray(stuffed), np.asarray(nbytes), restart)
+        scan_bytes, restart = self.encode_to_scan(img)
         return jfif.wrap_jpeg(h, w, self.config.quality,
                               self.config.subsampling, restart, scan_bytes)
 

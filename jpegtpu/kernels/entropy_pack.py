@@ -1,0 +1,733 @@
+"""Pallas TPU kernels for the entropy back-end: symbolize + bitstream pack.
+
+Replaces the XLA scatter/gather formulation (jpegtpu.entropy.scan/assemble —
+kept as the semantics oracle) whose table-gathers and scatter-adds lower
+poorly on TPU. Two kernels:
+
+Kernel B — block_pack: [N, 64] zigzag coefficients -> per-block packed
+    bitstreams ([N, 56] big-endian u32 words + [N] bit lengths). Everything
+    is VMEM-local per tile:
+      * zero-run recovery via log-step rolls (cummax), no serial scan;
+      * Huffman table lookup via native 128-lane gathers (dynamic_gather /
+        take_along_axis), chunk-selected over the 512-entry packed table;
+      * bit placement exploits that word targets are monotone along the
+        slot axis: each output word is a difference of prefix sums at a
+        rank found by branchless binary search (6 lane gathers) — a
+        scatter expressed entirely as gathers.
+
+Kernel C — segment merge: per-block streams -> per-restart-segment
+    bitstreams. The bit-level concatenation is the one sequential
+    dependence JPEG leaves after restart segmentation (SURVEY §2.14).
+    Two implementations:
+      * seg_merge (v1): fori loop per segment over blocks with a VMEM
+        accumulator; one funnel shift + dynamic 2-row read-modify-write
+        per block.
+      * seg_merge_v2: vectorized MCU pre-merge (mcu_merge: G block streams
+        -> one MCU stream via per-row lane gathers, no serial work), then a
+        register-window serial phase — the stream cursor lives in a
+        [16, 128] vreg window and flushes one 1024-word frame to the output
+        only when crossed, cutting serial iterations by G and removing
+        almost all memory traffic from the loop.
+    Both apply the final-byte 1-padding (T.81 F.1.2.3). Grid = segments.
+
+The reference's GPU path never got this far: its rleKernel stops at (run,
+value) pairs with an indexing bug (.cl:198-235, SURVEY §2.9) and Huffman/
+packing never ran on device at all.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from jpegtpu.entropy import huffman_tables as ht
+
+# Per-block word capacity: 63 AC * 26 bits + DC 22 bits = 1660 bits -> 52
+# words; +1 spill word, padded to 56 for layout friendliness.
+BLOCK_WORDS = 56
+_TILE = 256  # blocks per grid step in kernel B
+
+
+def _interpret() -> bool:
+    """Pallas interpreter mode off-TPU (tests on the CPU backend)."""
+    return jax.default_backend() != "tpu"
+
+
+def _lut_tables() -> np.ndarray:
+    """[4, 128] i32 packed AC table: entry cls*256 + (run<<4|size), value
+    (code << 5) | len — one lane-gather per 128-entry chunk retrieves both
+    fields (codes <=16 bits, lens <=16 -> 21 bits total)."""
+    _, _, ac_codes, ac_lens = ht.packed_luts()
+    packed = ((ac_codes.reshape(-1).astype(np.int64) << 5) |
+              ac_lens.reshape(-1)).astype(np.int32)
+    return packed.reshape(4, 128)
+
+
+def _dc_tables() -> np.ndarray:
+    """[1, 128] i32 packed DC table: entry cls*16 + size -> (code<<5)|len."""
+    dc_codes, dc_lens, _, _ = ht.packed_luts()
+    packed = ((dc_codes.reshape(-1).astype(np.int64) << 5) |
+              dc_lens.reshape(-1)).astype(np.int32)
+    out = np.zeros(128, np.int32)
+    out[:32] = packed
+    return out.reshape(1, 128)
+
+
+def _cumlog(x, op, identity, axis=1):
+    """Inclusive scan along `axis` via log-step rolls (no serial loop)."""
+    n = x.shape[axis]
+    ids = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    k = 1
+    while k < n:
+        rolled = pltpu.roll(x, k, axis=axis)
+        rolled = jnp.where(ids >= k, rolled, identity)
+        x = op(x, rolled)
+        k *= 2
+    return x
+
+
+def _size_category(av):
+    s = jnp.zeros(av.shape, jnp.int32)
+    for i in range(12):
+        s = s + (av >= (1 << i)).astype(jnp.int32)
+    return s
+
+
+def _block_pack_kernel(coeffs_ref, cls_ref, dcdiff_ref, ac_tbl_ref,
+                       dc_tbl_ref, words_ref, lens_ref):
+    c = coeffs_ref[...].astype(jnp.int32)              # [T, 64]
+    cls = cls_ref[...].astype(jnp.int32)               # [T, 1]
+    dcdiff = dcdiff_ref[...].astype(jnp.int32)         # [T, 1]
+    t = c.shape[0]
+    k = jax.lax.broadcasted_iota(jnp.int32, (t, 64), 1)
+
+    # --- run-length structure (cf. entropy.scan.block_symbols) ---
+    nz = c != 0
+    m = nz | (k == 0)                                   # DC slot sentinel
+    masked = jnp.where(m, k, -1)
+    cmax = _cumlog(masked, jnp.maximum, -1)             # inclusive cummax
+    prev = pltpu.roll(cmax, 1, axis=1)
+    prev = jnp.where(k == 0, 0, prev)                   # exclusive shift
+    last_nz = jnp.max(jnp.where(m, k, 0), axis=1, keepdims=True)
+
+    run = k - prev - 1
+    av = jnp.abs(c)
+    size = _size_category(av)
+
+    is_ac = k > 0
+    emit_nz = is_ac & nz
+    emit_zrl = is_ac & (~nz) & (k < last_nz) & ((k - prev) % 16 == 0)
+    emit_eob = (k == last_nz + 1) & (last_nz < 63)
+    emit_any = emit_nz | emit_zrl | emit_eob
+
+    rs = jnp.where(emit_nz, ((run % 16) << 4) | size,
+                   jnp.where(emit_zrl, ht.ZRL, ht.EOB))
+    # DC symbol index lives in slot 0 of a parallel lookup (dc table).
+    d_size = _size_category(jnp.abs(dcdiff))            # [T, 1]
+
+    # --- Huffman lookup: native 128-lane gathers (tpu dynamic_gather via
+    # take_along_axis; idx must match src shape). The 512-entry AC table is
+    # gathered per 128-entry chunk and chunk-selected; entries pack
+    # (code << 5) | len so one gather fetches both fields.
+    idx = cls * 256 + rs                                # [T, 64] in [0,512)
+    idx_p = jnp.concatenate(
+        [idx, jnp.zeros((t, 64), jnp.int32)], axis=1)   # [T, 128]
+    low = idx_p & 127
+    chunk = idx_p >> 7
+    packed = jnp.zeros((t, 128), jnp.int32)
+    for ci in range(4):
+        tbl_c = jnp.broadcast_to(ac_tbl_ref[ci:ci + 1, :], (t, 128))
+        g = jnp.take_along_axis(tbl_c, low, axis=1)
+        packed = jnp.where(chunk == ci, g, packed)
+    a_code = jnp.right_shift(packed[:, :64], 5)
+    a_len = packed[:, :64] & 31
+
+    dc_idx = cls * 16 + d_size                          # [T, 1] in [0,32)
+    dc_tbl = jnp.broadcast_to(dc_tbl_ref[...], (t, 128))
+    d_packed = jnp.take_along_axis(
+        dc_tbl, jnp.broadcast_to(dc_idx, (t, 128)), axis=1)[:, 0:1]
+    d_code = jnp.right_shift(d_packed, 5)
+    d_len = d_packed & 31
+
+    # --- symbol bits: code||magnitude, right-aligned ---
+    mag_sz = jnp.where(emit_nz, size, 0)
+    neg = c + (jnp.left_shift(1, mag_sz) - 1)
+    mag = jnp.where(c < 0, neg, c).astype(jnp.uint32) & \
+        (jnp.left_shift(jnp.uint32(1), mag_sz.astype(jnp.uint32)) - 1)
+    bits = (jnp.left_shift(a_code.astype(jnp.uint32),
+                           mag_sz.astype(jnp.uint32)) | mag)
+    lens = jnp.where(emit_any, a_len + mag_sz, 0)
+    bits = jnp.where(emit_any, bits, 0)
+
+    d_mag_neg = dcdiff + (jnp.left_shift(1, d_size) - 1)
+    d_mag = jnp.where(dcdiff < 0, d_mag_neg, dcdiff).astype(jnp.uint32) & \
+        (jnp.left_shift(jnp.uint32(1), d_size.astype(jnp.uint32)) - 1)
+    d_bits = (jnp.left_shift(d_code.astype(jnp.uint32),
+                             d_size.astype(jnp.uint32)) | d_mag)
+    d_total = d_len + d_size
+
+    lens = jnp.where(k == 0, d_total, lens)             # [T, 64]
+    bits = jnp.where(k == 0, d_bits, bits)
+
+    # --- per-block packing into BLOCK_WORDS big-endian u32 words ---
+    csum = _cumlog(lens, jnp.add, 0)                    # inclusive cumsum
+    offs = csum - lens                                  # exclusive
+    total = csum[:, 63:64]                              # [T, 1] block bits
+
+    w_idx = jnp.right_shift(offs, 5)
+    b_in_w = offs & 31
+    n1 = jnp.minimum(lens, 32 - b_in_w)
+    rem = lens - n1
+    rem_u = rem.astype(jnp.uint32)
+    b32 = (32 - b_in_w - n1).astype(jnp.uint32)
+    hi = jnp.where(lens > 0,
+                   jnp.left_shift(jnp.right_shift(bits, rem_u), b32), 0)
+    rem_mask = jnp.where(rem > 0,
+                         jnp.left_shift(jnp.uint32(1), rem_u) - 1, 0)
+    lo = jnp.where(rem > 0,
+                   jnp.left_shift(bits & rem_mask, (32 - rem).astype(jnp.uint32)),
+                   0)
+
+    # Place (value, word) pairs: hi at w_idx, lo at w_idx+1. All bit ranges
+    # are disjoint, so per-word accumulation is exact on 16-bit halves in
+    # f32. Word targets are NON-DECREASING along the slot axis, so instead
+    # of a 3D one-hot sum, each output word takes a difference of inclusive
+    # prefix sums at a rank found by branchless binary search (6 lane
+    # gathers) — everything stays 2D.
+    words = _place_monotone(hi, w_idx, k) + \
+        _place_monotone(lo, w_idx + 1, k)
+
+    words_ref[...] = words[:, :BLOCK_WORDS]
+    lens_ref[...] = total
+
+
+def _place_monotone(v, wt, w_col):
+    """Scatter-by-monotone-key: v [T,64] u32 values, wt [T,64] sorted word
+    targets -> [T,64] u32 words (lane w = sum of v where wt == w)."""
+    t = v.shape[0]
+    vh = pltpu.bitcast(jnp.right_shift(v, 16), jnp.int32).astype(jnp.float32)
+    vl = pltpu.bitcast(v & 0xFFFF, jnp.int32).astype(jnp.float32)
+    psh = _cumlog(vh, jnp.add, 0.0)
+    psl = _cumlog(vl, jnp.add, 0.0)
+
+    # count[t, w] = #slots with wt <= w, via branchless binary search.
+    # Steps start at 64 (not 32) so count can reach the full 64 when every
+    # slot's target is <= w; probes clamp to the last slot.
+    pos = jnp.zeros((t, 64), jnp.int32)
+    for step in (64, 32, 16, 8, 4, 2, 1):
+        cand = pos + step
+        probe = jnp.take_along_axis(wt, jnp.minimum(cand, 64) - 1, axis=1)
+        pos = jnp.where((cand <= 64) & (probe <= w_col), cand, pos)
+
+    def ps_at(ps):
+        g = jnp.take_along_axis(pltpu.bitcast(ps, jnp.int32),
+                                jnp.maximum(pos - 1, 0), axis=1)
+        g = pltpu.bitcast(g, jnp.float32)
+        g = jnp.where(pos > 0, g, 0.0)
+        prev = pltpu.roll(g, 1, axis=1)
+        cum = g - jnp.where(w_col == 0, 0.0, prev)
+        return pltpu.bitcast(cum.astype(jnp.int32), jnp.uint32)
+
+    return jnp.left_shift(ps_at(psh), 16) | ps_at(psl)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def block_pack(coeffs: jax.Array, cls: jax.Array,
+               dcdiff: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """[N, 64] i32 zigzag blocks (+[N] class, [N] dcdiff) ->
+    ([N, BLOCK_WORDS] u32 words, [N] i32 bit lengths). N % 32 == 0."""
+    n = coeffs.shape[0]
+    pad = (-n) % _TILE
+    if pad:
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.zeros((pad, 64), coeffs.dtype)])
+        cls = jnp.concatenate([cls.reshape(-1), jnp.zeros(pad, cls.dtype)])
+        dcdiff = jnp.concatenate(
+            [dcdiff.reshape(-1), jnp.zeros(pad, dcdiff.dtype)])
+        w, l = block_pack(coeffs, cls, dcdiff)
+        return w[:n], l[:n]
+    ac_tbl = jnp.asarray(_lut_tables())
+    dc_tbl = jnp.asarray(_dc_tables())
+    grid = (n // _TILE,)
+    words, lens = pl.pallas_call(
+        _block_pack_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TILE, 64), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((_TILE, BLOCK_WORDS), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, BLOCK_WORDS), jnp.uint32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(coeffs, cls.reshape(n, 1), dcdiff.reshape(n, 1), ac_tbl, dc_tbl)
+    return words, lens.reshape(n)
+
+
+def _mcu_merge_kernel(words_ref, lens_ref, mwords_ref, mlens_ref,
+                      *, g: int, chunks: int):
+    """Vectorized pre-merge: G consecutive block streams -> one MCU stream.
+
+    words [T, G, BLOCK_WORDS], lens [T, G, 1] -> mwords [T, chunks*128],
+    mlens [T, 1]. Placement at the MCU scale is a per-row lane gather: for
+    output chunk c, word lane l takes shifted_g[l + 128c - q_g] — no
+    scatter, no serial work.
+    """
+    t = words_ref.shape[0]
+    lens = lens_ref[...].reshape(t, g)                   # [T, G]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, 128), 1)
+
+    out_chunks = [jnp.zeros((t, 128), jnp.uint32) for _ in range(chunks)]
+    zpad = jnp.zeros((t, 128 - BLOCK_WORDS), jnp.uint32)
+    off = jnp.zeros((t, 1), jnp.int32)                   # exclusive bits
+    for gi in range(g):
+        w = words_ref[:, gi, :]                          # [T, BLOCK_WORDS]
+        w_pad = jnp.concatenate([w, zpad], axis=1)       # [T, 128]
+        r = (off & 31).astype(jnp.uint32)
+        q = off >> 5                                     # [T, 1]
+        rolled1 = pltpu.roll(w_pad, 1, axis=1)
+        sh = jnp.right_shift(w_pad, r)
+        sh = sh | jnp.where(r > 0,
+                            jnp.left_shift(rolled1, (32 - r) & 31), 0)
+        for c in range(chunks):
+            idx = lane + (128 * c) - q                   # [T, 128]
+            valid = (idx >= 0) & (idx < 128)
+            gat = jnp.take_along_axis(sh, jnp.clip(idx, 0, 127), axis=1)
+            out_chunks[c] = out_chunks[c] | jnp.where(valid, gat, 0)
+        off = off + lens[:, gi:gi + 1]
+    mwords_ref[...] = jnp.concatenate(out_chunks, axis=1)
+    mlens_ref[...] = off
+
+
+def mcu_merge(words: jax.Array, lens: jax.Array, g: int):
+    """[N, BLOCK_WORDS] + [N] -> ([N/g, chunks*128], [N/g]) MCU streams."""
+    n = words.shape[0]
+    assert n % g == 0
+    nm = n // g
+    chunks = -(-(g * 52 + 2) // 128)
+    tile = 128
+    pad = (-nm) % tile
+    if pad:
+        words = jnp.concatenate(
+            [words, jnp.zeros((pad * g, BLOCK_WORDS), words.dtype)])
+        lens = jnp.concatenate([lens, jnp.zeros(pad * g, lens.dtype)])
+        mw, ml = mcu_merge(words, lens, g)
+        return mw[:nm], ml[:nm]
+    kernel = functools.partial(_mcu_merge_kernel, g=g, chunks=chunks)
+    mw, ml = pl.pallas_call(
+        kernel,
+        grid=(nm // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, g, BLOCK_WORDS), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, g, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, chunks * 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nm, chunks * 128), jnp.uint32),
+            jax.ShapeDtypeStruct((nm, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(words.reshape(nm, g, BLOCK_WORDS), lens.reshape(nm, g, 1))
+    return mw, ml.reshape(nm)
+
+
+def _seg_merge_window_kernel(mwords_ref, mlens_ref, out_ref, bits_ref,
+                             *, mps: int, chunks: int, frames: int):
+    """Serial phase over pre-merged MCU streams with a register window.
+
+    The bitstream cursor lives in a [16, 128] vreg window (2048 words = 2
+    frames); contributions land via one dynamic lane-roll per chunk plus
+    sublane selects, and a frame flushes to HBM only when the cursor crosses
+    a 1024-word boundary. mwords [1, mps, chunks*128], mlens [1, mps, 1] ->
+    out [1, frames, 8, 128], bits [1,1,1].
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    su = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    frame_bits = 1024 * 32
+
+    def place(win, local_bits, stream_chunks):
+        """OR a funnel-shifted stream (list of [1,128] chunks) into win at
+        local word offset; returns new window."""
+        m = (local_bits >> 5) & 127
+        p0 = (local_bits >> 5) >> 7
+        rolled = [pltpu.roll(c, m, axis=1) for c in stream_chunks]
+        rows = []
+        for k in range(len(rolled) + 1):
+            cur = rolled[k] if k < len(rolled) else None
+            prv = rolled[k - 1] if k >= 1 else None
+            hi = jnp.where(lane >= m, cur, 0) if cur is not None else 0
+            lo = jnp.where(lane < m, prv, 0) if prv is not None else 0
+            rows.append(hi | lo)
+        contrib = jnp.zeros((16, 128), jnp.uint32)
+        for k, rk in enumerate(rows):
+            contrib = contrib | jnp.where(su == p0 + k, rk, 0)
+        return win | contrib
+
+    def body(j, state):
+        local_bits, f, win = state
+        l = mlens_ref[0, j, 0]
+        r = (local_bits & 31).astype(jnp.uint32)
+        s = mwords_ref[0, pl.ds(j, 1), :]                # [1, chunks*128]
+        s_chunks = [s[:, c * 128:(c + 1) * 128] for c in range(chunks)]
+        # funnel shift right by r bits across the whole stream
+        shifted = []
+        prev_last = jnp.zeros((1, 1), jnp.uint32)
+        for c in range(chunks):
+            ch = s_chunks[c]
+            rolled1 = pltpu.roll(ch, 1, axis=1)
+            carry_in = jnp.where(
+                lane == 0,
+                prev_last if c > 0 else jnp.zeros((1, 1), jnp.uint32),
+                rolled1)
+            sh = jnp.right_shift(ch, r)
+            sh = sh | jnp.where(r > 0,
+                                jnp.left_shift(carry_in, (32 - r) & 31), 0)
+            shifted.append(sh)
+            prev_last = ch[:, 127:128]
+        win = place(win, local_bits, shifted)
+
+        new_bits = local_bits + l
+        crossed = new_bits >= frame_bits
+
+        @pl.when(crossed)
+        def _():
+            out_ref[0, pl.ds(f, 1), :, :] = win[0:8, :].reshape(1, 8, 128)
+
+        win = jnp.where(crossed,
+                        jnp.concatenate(
+                            [win[8:16, :], jnp.zeros((8, 128), jnp.uint32)]),
+                        win)
+        local_bits = jnp.where(crossed, new_bits - frame_bits, new_bits)
+        f = f + crossed.astype(jnp.int32)
+        return local_bits, f, win
+
+    zero_win = jnp.zeros((16, 128), jnp.uint32)
+    local_bits, f, win = jax.lax.fori_loop(
+        0, mps, body, (jnp.int32(0), jnp.int32(0), zero_win))
+
+    total = f * frame_bits + local_bits
+    # 1-pad the final partial byte (T.81 F.1.2.3).
+    pad = (8 - (total & 7)) & 7
+    b = total & 31
+    padmask = jnp.where(
+        pad > 0,
+        jnp.left_shift(
+            jnp.left_shift(jnp.uint32(1), pad.astype(jnp.uint32)) - 1,
+            (32 - b - pad).astype(jnp.uint32)),
+        jnp.uint32(0))
+    padvec = jnp.where(lane == 0, padmask, jnp.uint32(0))
+    win = place(win, (local_bits >> 5) << 5, [padvec])
+
+    out_ref[0, pl.ds(f, 1), :, :] = win[0:8, :].reshape(1, 8, 128)
+
+    @pl.when(f + 1 < frames)
+    def _():
+        out_ref[0, pl.ds(f + 1, 1), :, :] = win[8:16, :].reshape(1, 8, 128)
+
+    bits_ref[0, 0, 0] = total
+
+
+def seg_merge_v2(words: jax.Array, lens: jax.Array, n_seg: int, bps: int,
+                 w_cap: int, blocks_per_mcu: int):
+    """Two-phase segment merge: vectorized MCU pre-merge + register-window
+    serial append (blocks_per_mcu x fewer serial iterations than v1)."""
+    g = blocks_per_mcu
+    chunks = -(-(g * 52 + 2) // 128)
+    mwords, mlens = mcu_merge(words, lens, g)
+    mps = bps // g                                       # MCUs per segment
+    frames = -(-w_cap // 1024) + 1
+    kernel = functools.partial(_seg_merge_window_kernel, mps=mps,
+                               chunks=chunks, frames=frames)
+    out, bits = pl.pallas_call(
+        kernel,
+        grid=(n_seg,),
+        in_specs=[
+            pl.BlockSpec((1, mps, chunks * 128), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mps, 1), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, frames, 8, 128), lambda s: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda s: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_seg, frames, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_seg, 1, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(mwords.reshape(n_seg, mps, chunks * 128),
+      mlens.reshape(n_seg, mps, 1))
+    return out.reshape(n_seg, frames * 1024), bits.reshape(n_seg)
+
+
+def _compact_kernel(bits_ref, frames_ref, out_ref, chunk_ref, flush_ref,
+                    sem_in, sem_out, *, n_seg: int, f_per_seg: int):
+    """Kernel D: concatenate trimmed segments into one contiguous stream.
+
+    frames [n_seg, F, 8, 128] u32 (big-endian words from seg_merge) ->
+    out [n_seg*F, 8, 128] u32 little-endian-swapped so the host reads raw
+    stream bytes with zero post-processing. Segments are byte-aligned but
+    not word-aligned, so chunks funnel-shift by (offset&3)*8 bits through
+    the same register-window machinery as seg_merge_v2. Grid = 1; inner
+    work is one 4KB DMA + ~20 vector ops per 4KB chunk.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    su16 = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+    su8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    frame_bits = 1024 * 32
+
+    def bswap(w):
+        return (jnp.right_shift(w, 24) |
+                (jnp.right_shift(w, 8) & jnp.uint32(0xFF00)) |
+                (jnp.left_shift(w & jnp.uint32(0xFF00), 8)) |
+                jnp.left_shift(w, 24))
+
+    def place16(win, local_bits, rows8):
+        """OR an [8,128] contribution into the [16,128] window at the
+        window-local word offset (local_bits is a bit offset, 32-aligned
+        after the funnel shift)."""
+        m = (local_bits >> 5) & 127
+        p0 = (local_bits >> 5) >> 7
+        rolled = pltpu.roll(rows8, m, axis=1)
+        prev = pltpu.roll(rolled, 1, axis=0)            # row k-1, rolled
+        hi = jnp.where(lane >= m, rolled, 0)
+        lo = jnp.where(lane < m, prev, 0)
+        lo0 = jnp.where(lane < m, rolled, 0)            # for row p0+8
+        contrib = jnp.zeros((16, 128), jnp.uint32)
+        for k in range(9):
+            if k == 0:
+                rk = hi[0:1]
+            elif k < 8:
+                rk = hi[k:k + 1] | lo[k:k + 1]
+            else:
+                rk = lo0[7:8]
+            contrib = contrib | jnp.where(su16 == p0 + k, rk, 0)
+        return win | contrib
+
+    def flush(f_out, win):
+        flush_ref[...] = bswap(win[0:8, :])
+        cp = pltpu.make_async_copy(flush_ref, out_ref.at[f_out], sem_out)
+        cp.start()
+        cp.wait()
+
+    def seg_body(s, state):
+        local_bits, f_out, win, carry = state
+        nbits = ((bits_ref[0, s] + 7) >> 3) << 3
+        nchunks = (nbits + frame_bits - 1) // frame_bits
+
+        def chunk_body(i, st):
+            local_bits, f_out, win, carry = st
+            cp = pltpu.make_async_copy(frames_ref.at[s, i], chunk_ref,
+                                       sem_in)
+            cp.start()
+            cp.wait()
+            ch = chunk_ref[...]                          # [8, 128]
+            r = (local_bits & 31).astype(jnp.uint32)
+            rolled_l = pltpu.roll(ch, 1, axis=1)
+            rolled_lr = pltpu.roll(rolled_l, 1, axis=0)
+            prev_w = jnp.where(lane == 0, rolled_lr, rolled_l)
+            # carry is a [1,128] row with the previous chunk's last word at
+            # lane 0 (sublane-only broadcast; 2D broadcasts are unsupported)
+            prev_w = jnp.where((lane == 0) & (su8 == 0), carry, prev_w)
+            sh = jnp.right_shift(ch, r)
+            sh = sh | jnp.where(r > 0,
+                                jnp.left_shift(prev_w, (32 - r) & 31), 0)
+            win = place16(win, local_bits, sh)
+            carry = pltpu.roll(ch[7:8, :], 1, axis=1)
+            adv = jnp.minimum(frame_bits, nbits - i * frame_bits)
+            new_bits = local_bits + adv
+            crossed = new_bits >= frame_bits
+
+            @pl.when(crossed)
+            def _():
+                flush(f_out, win)
+
+            win = jnp.where(
+                crossed,
+                jnp.concatenate(
+                    [win[8:16, :], jnp.zeros((8, 128), jnp.uint32)]),
+                win)
+            local_bits = jnp.where(crossed, new_bits - frame_bits, new_bits)
+            f_out = f_out + crossed.astype(jnp.int32)
+            return local_bits, f_out, win, carry
+
+        # reset the inter-chunk carry at each segment start
+        carry = jnp.zeros((1, 128), jnp.uint32)
+        return jax.lax.fori_loop(
+            0, nchunks, chunk_body, (local_bits, f_out, win, carry))
+
+    zero_win = jnp.zeros((16, 128), jnp.uint32)
+    zero_carry = jnp.zeros((1, 128), jnp.uint32)
+    local_bits, f_out, win, _ = jax.lax.fori_loop(
+        0, n_seg, seg_body,
+        (jnp.int32(0), jnp.int32(0), zero_win, zero_carry))
+
+    flush(f_out, win)
+    total_frames = n_seg * f_per_seg
+
+    @pl.when(f_out + 1 < total_frames)
+    def _():
+        flush_ref[...] = bswap(win[8:16, :])
+        cp = pltpu.make_async_copy(flush_ref, out_ref.at[f_out + 1],
+                                   sem_out)
+        cp.start()
+        cp.wait()
+
+
+def compact_segments(seg_words: jax.Array, seg_bits: jax.Array,
+                     frames_per_seg: int) -> jax.Array:
+    """[n_seg, F*1024] u32 + [n_seg] bits -> flat [n_seg*F*1024] u32 stream
+    of concatenated trimmed segments (byte-swapped: raw bytes in order).
+    Host fetches exactly sum(ceil(bits/8)) bytes of it."""
+    n_seg = seg_words.shape[0]
+    f = frames_per_seg
+    kernel = functools.partial(_compact_kernel, n_seg=n_seg, f_per_seg=f)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((n_seg * f, 8, 128), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.uint32),
+            pltpu.VMEM((8, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(seg_bits.astype(jnp.int32).reshape(1, n_seg),
+      seg_words.reshape(n_seg, f, 8, 128))
+    return out.reshape(-1)
+
+
+def _seg_merge_kernel(words_ref, lens_ref, out_ref, bits_ref, acc_ref,
+                      *, bps: int, rows: int):
+    """Append bps block streams into one segment stream.
+
+    acc layout: [rows+2, 1, 128] u32 — 128 words per row so Mosaic's
+    lane-alignment rules never see a dynamic lane index; placement uses a
+    dynamic lane rotate + two-row masked OR at a dynamic *leading*-dim
+    offset, which is unrestricted.
+    """
+    acc_ref[...] = jnp.zeros_like(acc_ref)
+    zpad = jnp.zeros((1, 128 - BLOCK_WORDS), jnp.uint32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def place(carry_bits, w_pad, nbits):
+        """OR a (<=57-word, bit-shiftable) contribution at carry_bits."""
+        r = (carry_bits & 31).astype(jnp.uint32)
+        q = carry_bits >> 5
+        rolled1 = pltpu.roll(w_pad, 1, axis=1)
+        sh = jnp.right_shift(w_pad, r)
+        sh = sh | jnp.where(r > 0,
+                            jnp.left_shift(rolled1, (32 - r) & 31), 0)
+        row = q >> 7
+        m = q & 127
+        rot = pltpu.roll(sh, m, axis=1)                 # dynamic lane rotate
+        row0 = jnp.where(lane >= m, rot, 0)
+        row1 = jnp.where(lane < m, rot, 0)
+        contrib = jnp.concatenate([row0, row1], axis=0)[:, None, :]
+        cur = acc_ref[pl.ds(row, 2), :, :]              # [2, 1, 128]
+        acc_ref[pl.ds(row, 2), :, :] = cur | contrib
+        return carry_bits + nbits
+
+    def body(j, carry_bits):
+        w = words_ref[0, pl.ds(j, 1), :]                # [1, BLOCK_WORDS]
+        w_pad = jnp.concatenate([w, zpad], axis=1)      # [1, 128]
+        return place(carry_bits, w_pad, lens_ref[0, j, 0])
+
+    total = jax.lax.fori_loop(0, bps, body, jnp.int32(0))
+
+    # 1-pad the final partial byte (T.81 F.1.2.3).
+    pad = (8 - (total & 7)) & 7
+    b = total & 31
+    padmask = jnp.where(
+        pad > 0,
+        jnp.left_shift(
+            jnp.left_shift(jnp.uint32(1), pad.astype(jnp.uint32)) - 1,
+            (32 - b - pad).astype(jnp.uint32)),
+        jnp.uint32(0))
+    padvec = jnp.where(lane == 0, padmask, jnp.uint32(0))
+    # place() shifts within the word by (offset & 31); feed the already
+    # word-aligned mask at the word boundary bit offset.
+    place((total >> 5) << 5, padvec, 0)
+
+    bits_ref[0, 0, 0] = total
+    out_ref[...] = acc_ref[pl.ds(0, rows), :, :].reshape(1, rows, 1, 128)
+
+
+def seg_merge(words: jax.Array, lens: jax.Array, n_seg: int, bps: int,
+              w_cap: int) -> Tuple[jax.Array, jax.Array]:
+    """Per-block streams -> per-segment streams.
+
+    words [n_seg*bps, BLOCK_WORDS] u32, lens [n_seg*bps] i32 ->
+    (seg_words [n_seg, rows*128] u32, seg_bits [n_seg] i32) with
+    rows = ceil(w_cap/128); capacity must cover the worst segment (caller
+    checks the returned seg_bits against it).
+    """
+    rows = -(-w_cap // 128)
+    kernel = functools.partial(_seg_merge_kernel, bps=bps, rows=rows)
+    out, bits = pl.pallas_call(
+        kernel,
+        grid=(n_seg,),
+        in_specs=[
+            pl.BlockSpec((1, bps, BLOCK_WORDS), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # per-step scalar reads; SMEM would be ideal but SMEM windows
+            # pad each element to a full word-line (1440 scalars -> 1.4MB),
+            # so VMEM it is
+            pl.BlockSpec((1, bps, 1), lambda s: (s, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, rows, 1, 128), lambda s: (s, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda s: (s, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_seg, rows, 1, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_seg, 1, 1), jnp.int32),
+        ),
+        scratch_shapes=[
+            # +2 slack rows so the 2-row RMW window never overruns.
+            pltpu.VMEM((rows + 2, 1, 128), jnp.uint32),
+        ],
+        interpret=_interpret(),
+    )(words.reshape(n_seg, bps, BLOCK_WORDS),
+      lens.reshape(n_seg, bps, 1))
+    return out.reshape(n_seg, rows * 128), bits.reshape(n_seg)

@@ -1,0 +1,116 @@
+"""ctypes loader for the native C++ runtime helpers.
+
+Auto-builds libjpegtpu_native.so on first use (g++ via make); every entry
+point has a pure-numpy fallback so the framework degrades gracefully where
+no toolchain exists.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libjpegtpu_native.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    try:
+        if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH) <
+                os.path.getmtime(os.path.join(_DIR, "native.cpp"))):
+            subprocess.run(["make", "-C", _DIR, "-s"], check=True,
+                           capture_output=True, timeout=120)
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.stuff_assemble.restype = ctypes.c_longlong
+        lib.stuff_assemble.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_longlong, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_longlong]
+        lib.stuff_assemble_contig.restype = ctypes.c_longlong
+        lib.stuff_assemble_contig.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_longlong]
+        lib.parse_pnm_header.restype = ctypes.c_int
+        lib.parse_pnm_header.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def stuff_assemble(segs: np.ndarray, nbytes: np.ndarray,
+                   restart: int) -> bytes:
+    """Unstuffed per-segment bytes [n_seg, cap] + lengths -> final entropy
+    scan (stuffed, RST markers spliced). C++ fast path, numpy fallback."""
+    segs = np.ascontiguousarray(segs, dtype=np.uint8)
+    nbytes = np.ascontiguousarray(nbytes, dtype=np.int32)
+    n_seg, cap = segs.shape
+    lib = _load()
+    if lib is not None:
+        total_in = int(nbytes.sum())
+        out = np.empty(total_in * 2 + 2 * n_seg + 16, np.uint8)
+        n = lib.stuff_assemble(
+            segs.ctypes.data, nbytes.ctypes.data, n_seg, cap,
+            1 if restart > 0 else 0, out.ctypes.data, out.size)
+        if n >= 0:
+            return out[:n].tobytes()
+    # numpy fallback
+    parts = []
+    for s in range(n_seg):
+        raw = segs[s, :int(nbytes[s])]
+        idx = np.flatnonzero(raw == 0xFF)
+        if idx.size:
+            stuffed = np.insert(raw, idx + 1, 0)
+        else:
+            stuffed = raw
+        parts.append(stuffed.tobytes())
+        if restart > 0 and s != n_seg - 1:
+            parts.append(bytes((0xFF, 0xD0 + (s % 8))))
+    return b"".join(parts)
+
+
+def stuff_assemble_contig(stream: np.ndarray, nbytes: np.ndarray,
+                          restart: int) -> bytes:
+    """Back-to-back segment bytes (device-compacted) + lengths -> final
+    entropy scan. C++ fast path, numpy fallback."""
+    stream = np.ascontiguousarray(stream, dtype=np.uint8)
+    nbytes = np.ascontiguousarray(nbytes, dtype=np.int32)
+    n_seg = nbytes.shape[0]
+    lib = _load()
+    if lib is not None:
+        total_in = int(nbytes.sum())
+        out = np.empty(total_in * 2 + 2 * n_seg + 16, np.uint8)
+        n = lib.stuff_assemble_contig(
+            stream.ctypes.data, nbytes.ctypes.data, n_seg,
+            1 if restart > 0 else 0, out.ctypes.data, out.size)
+        if n >= 0:
+            return out[:n].tobytes()
+    parts = []
+    off = 0
+    for s in range(n_seg):
+        n = int(nbytes[s])
+        raw = stream[off:off + n]
+        off += n
+        idx = np.flatnonzero(raw == 0xFF)
+        parts.append((np.insert(raw, idx + 1, 0) if idx.size else raw)
+                     .tobytes())
+        if restart > 0 and s != n_seg - 1:
+            parts.append(bytes((0xFF, 0xD0 + (s % 8))))
+    return b"".join(parts)

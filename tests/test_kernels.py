@@ -1,0 +1,205 @@
+"""Pallas kernel tests (interpreter mode on CPU): the production kernels
+must agree bit-for-bit with the XLA oracle tier."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jpegtpu.core import ops
+from jpegtpu.entropy import scan
+from jpegtpu.kernels import entropy_pack as ep
+from jpegtpu.kernels import fused_dctq
+
+
+def _random_blocks(rng, n_mcu, b, density=0.15, lo=-1023, hi=1024):
+    c = np.zeros((n_mcu * b, 64), np.int32)
+    mask = rng.random((n_mcu * b, 64)) < density
+    c[mask] = rng.integers(lo, hi, mask.sum())
+    return c.reshape(n_mcu, b, 64)
+
+
+def _pack_block_oracle(lens_row, bits_row):
+    """Sequential bit placement for one block -> BLOCK_WORDS words."""
+    w = np.zeros(ep.BLOCK_WORDS, np.uint64)
+    off = 0
+    for L, v in zip(lens_row, bits_row):
+        L, v = int(L), int(v)
+        if L:
+            wi, b = off >> 5, off & 31
+            win = v << (64 - b - L)
+            w[wi] |= win >> 32
+            if wi + 1 < ep.BLOCK_WORDS:
+                w[wi + 1] |= win & 0xFFFFFFFF
+            off += L
+    return w.astype(np.uint32), off
+
+
+@pytest.mark.parametrize("density", [0.02, 0.3])
+def test_block_pack_matches_oracle(density):
+    rng = np.random.default_rng(int(density * 1000))
+    n_mcu, b, n_luma, restart = 16, 3, 1, 4
+    c = _random_blocks(rng, n_mcu, b, density)
+    lens_o, bits_o = scan.symbolize_scan(jnp.asarray(c), n_luma, restart)
+    lens_o = np.asarray(lens_o).reshape(-1, 64)
+    bits_o = np.asarray(bits_o).reshape(-1, 64)
+
+    cls = np.tile(np.array([0] * n_luma + [1] * (b - n_luma), np.int32),
+                  n_mcu)
+    dcd = np.asarray(scan.dc_diffs(jnp.asarray(c), n_luma, restart))
+    words, blens = ep.block_pack(jnp.asarray(c.reshape(-1, 64)),
+                                 jnp.asarray(cls),
+                                 jnp.asarray(dcd.reshape(-1)))
+    words, blens = np.asarray(words), np.asarray(blens)
+
+    np.testing.assert_array_equal(blens, lens_o.sum(axis=1))
+    for i in range(n_mcu * b):
+        ref, _ = _pack_block_oracle(lens_o[i], bits_o[i])
+        np.testing.assert_array_equal(words[i], ref, err_msg=f"block {i}")
+
+
+def test_seg_merge_matches_oracle():
+    rng = np.random.default_rng(7)
+    n_mcu, b, n_luma, restart = 12, 6, 4, 4   # 3 segments, 420-style MCU
+    c = _random_blocks(rng, n_mcu, b, 0.12, -255, 256)
+    lens_o, bits_o = scan.symbolize_scan(jnp.asarray(c), n_luma, restart)
+    lens_f = np.asarray(lens_o).reshape(3, -1)
+    bits_f = np.asarray(bits_o).reshape(3, -1)
+
+    # sequential oracle with byte 1-padding
+    w_cap = 1024
+    ref = np.zeros((3, w_cap), np.uint64)
+    ref_bits = []
+    for s in range(3):
+        off = 0
+        for L, v in zip(lens_f[s], bits_f[s]):
+            L, v = int(L), int(v)
+            if L:
+                wi, bb = off >> 5, off & 31
+                win = v << (64 - bb - L)
+                ref[s, wi] |= win >> 32
+                ref[s, wi + 1] |= win & 0xFFFFFFFF
+                off += L
+        pad = (-off) % 8
+        if pad:
+            wi, bb = off >> 5, off & 31
+            win = ((1 << pad) - 1) << (64 - bb - pad)
+            ref[s, wi] |= win >> 32
+            ref[s, wi + 1] |= win & 0xFFFFFFFF
+        ref_bits.append(off)
+    ref = ref.astype(np.uint32)
+
+    cls = np.tile(np.array([0] * n_luma + [1] * (b - n_luma), np.int32),
+                  n_mcu)
+    dcd = np.asarray(scan.dc_diffs(jnp.asarray(c), n_luma, restart))
+    words, blens = ep.block_pack(jnp.asarray(c.reshape(-1, 64)),
+                                 jnp.asarray(cls),
+                                 jnp.asarray(dcd.reshape(-1)))
+    sw, sb = ep.seg_merge(words, blens, 3, restart * b, w_cap)
+    sw, sb = np.asarray(sw), np.asarray(sb)
+    np.testing.assert_array_equal(sb, ref_bits)
+    np.testing.assert_array_equal(sw[:, :w_cap], ref)
+
+
+@pytest.mark.parametrize("g", [3, 6])
+def test_seg_merge_v2_matches_v1(g):
+    """Two-phase (MCU pre-merge + register window) merge must produce the
+    same segment streams as the straightforward v1 serial merge."""
+    rng = np.random.default_rng(g)
+    n_mcu, n_luma, restart = 8, (4 if g == 6 else 1), 4
+    c = _random_blocks(rng, n_mcu, g, 0.2, -255, 256)
+    cls = np.tile(np.array([0] * n_luma + [1] * (g - n_luma), np.int32),
+                  n_mcu)
+    dcd = np.asarray(scan.dc_diffs(jnp.asarray(c), n_luma, restart))
+    words, blens = ep.block_pack(jnp.asarray(c.reshape(-1, 64)),
+                                 jnp.asarray(cls),
+                                 jnp.asarray(dcd.reshape(-1)))
+    n_seg, bps, w_cap = 2, restart * g, 2048
+    sw1, sb1 = ep.seg_merge(words, blens, n_seg, bps, w_cap)
+    sw2, sb2 = ep.seg_merge_v2(words, blens, n_seg, bps, w_cap,
+                               blocks_per_mcu=g)
+    np.testing.assert_array_equal(np.asarray(sb1), np.asarray(sb2))
+    sw1, sw2 = np.asarray(sw1), np.asarray(sw2)
+    for s in range(n_seg):
+        n = (int(sb1[s]) + 31) // 32
+        np.testing.assert_array_equal(sw2[s, :n], sw1[s, :n],
+                                      err_msg=f"segment {s}")
+
+
+def test_mcu_merge_against_block_oracle():
+    """Pre-merged MCU stream == sequentially packed concatenation."""
+    rng = np.random.default_rng(3)
+    c = _random_blocks(rng, 4, 6, 0.25, -63, 64)
+    cls = np.tile(np.array([0, 0, 0, 0, 1, 1], np.int32), 4)
+    dcd = np.asarray(scan.dc_diffs(jnp.asarray(c), 4, 0))
+    words, blens = ep.block_pack(jnp.asarray(c.reshape(-1, 64)),
+                                 jnp.asarray(cls),
+                                 jnp.asarray(dcd.reshape(-1)))
+    mw, ml = ep.mcu_merge(words, blens, 6)
+    mw, ml = np.asarray(mw), np.asarray(ml)
+    words, blens = np.asarray(words), np.asarray(blens)
+    np.testing.assert_array_equal(ml, blens.reshape(4, 6).sum(axis=1))
+    for i in range(4):
+        stream = np.zeros(mw.shape[1], np.uint64)
+        off = 0
+        for gi in range(6):
+            for wi in range(ep.BLOCK_WORDS):
+                v = int(words[i * 6 + gi, wi])
+                if v == 0:
+                    continue
+                # word wi covers bits [32wi, 32wi+32) of the block stream
+                o = off + 32 * wi
+                wq, bq = o >> 5, o & 31
+                win = v << (32 - bq)
+                stream[wq] |= win >> 32
+                stream[wq + 1] |= win & 0xFFFFFFFF
+            off += int(blens[i * 6 + gi])
+        np.testing.assert_array_equal(mw[i], stream.astype(np.uint32),
+                                      err_msg=f"mcu {i}")
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("quality", [35, 90])
+def test_fused_dctq_matches_ops(subsampling, quality):
+    rng = np.random.default_rng(quality)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    a = np.asarray(ops.encode_blocks(img, quality, subsampling))
+    b = np.asarray(fused_dctq.encode_blocks(jnp.asarray(img), quality,
+                                            subsampling))
+    # single fused f32 matmul vs staged f32: tiny rounding-boundary skew only
+    d = np.abs(a - b)
+    assert d.max() <= 1
+    assert (d > 0).mean() < 1e-3
+
+
+def test_fused_dctq_odd_sizes():
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    a = np.asarray(ops.encode_blocks(img, 75, "420"))
+    b = np.asarray(fused_dctq.encode_blocks(jnp.asarray(img), 75, "420"))
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() <= 1
+
+
+def test_encoder_pallas_entropy_path_end_to_end(monkeypatch):
+    """Force the Pallas entropy path (interpret mode) through the public
+    encoder and compare bytes with the XLA path."""
+    import jpegtpu.encoder as enc_mod
+    from jpegtpu.config import EncoderConfig
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+
+    cfg = EncoderConfig(quality=75, subsampling="420",
+                        restart_interval="rows")
+    xla_bytes = enc_mod.Encoder(cfg).encode(img)
+
+    monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+    # interpret-mode detection keys off the real backend, so patch it too
+    import jpegtpu.kernels.entropy_pack as epk
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    enc_mod._jitted_encode.cache_clear()
+    try:
+        pallas_bytes = enc_mod.Encoder(cfg).encode(img)
+    finally:
+        enc_mod._jitted_encode.cache_clear()
+    assert pallas_bytes == xla_bytes

@@ -1,0 +1,126 @@
+"""Stage-instrumented encode — the analog of the reference's per-stage
+benchmark harness (JpegEncoderHost timing brackets + CL event profiling,
+src/OpenCLProject_JpegEncoder.cpp:28-250, :622-629).
+
+The production pipeline is one fused device program, so stage timing runs
+each stage as its own jitted program with block_until_ready-style sync
+(a dependent scalar fetch — see jpegtpu.bench.telemetry), exactly how the
+reference isolates kernels with CL events. Optionally times the same stages
+on the CPU backend for a speedup table, mirroring the reference's CPU vs
+GPU comparison printout.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jpegtpu import native
+from jpegtpu.config import EncoderConfig
+from jpegtpu.core import ops
+from jpegtpu.encoder import Encoder
+from jpegtpu.entropy import scan
+
+
+def _sync_time(fn, *args, iters: int = 3) -> float:
+    """Median wall seconds; dependent scalar fetch forces completion."""
+    probe = jax.jit(lambda o: sum(jnp.sum(x.astype(jnp.int32))
+                                  for x in jax.tree.leaves(o)))
+    out = fn(*args)
+    float(probe(out))                        # warm both
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(probe(fn(*args)))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
+def stage_report(img: np.ndarray, cfg: EncoderConfig,
+                 iters: int = 3) -> Dict[str, float]:
+    """Per-stage wall times (seconds) of the device pipeline on the current
+    default backend. Keys mirror CPUTelemetry's stages (src/utils.hpp:65-75)
+    plus the entropy/container stages the reference never had."""
+    n_luma = 4 if cfg.subsampling == "420" else 1
+    mcu = cfg.mcu_size
+    my, mx = ops.mcu_grid(*img.shape[:2], cfg.subsampling)
+    restart = cfg.resolve_restart(mx)
+
+    imgd = jax.device_put(jnp.asarray(img))
+    out: Dict[str, float] = {}
+
+    f_csc = jax.jit(ops.rgb_to_ycbcr)
+    out["csc"] = _sync_time(f_csc, imgd, iters=iters)
+
+    f_pad = jax.jit(lambda x: ops.pad_to_multiple(x, mcu))
+    ycc = f_csc(imgd)
+    out["pad"] = _sync_time(f_pad, ycc, iters=iters)
+
+    if cfg.subsampling == "420":
+        f_ds = jax.jit(ops.downsample_chroma_420)
+        out["subsample"] = _sync_time(f_ds, f_pad(ycc), iters=iters)
+
+    from jpegtpu.kernels import fused_dctq
+    f_px = jax.jit(lambda x: fused_dctq.encode_blocks(
+        x, cfg.quality, cfg.subsampling))
+    out["pixel_path_fused"] = _sync_time(f_px, imgd, iters=iters)
+    coeffs = f_px(imgd)
+
+    if jax.default_backend() == "tpu" and cfg.device_bitpack:
+        from jpegtpu.kernels import entropy_pack
+        n_mcu, b, _ = coeffs.shape
+
+        def f_sym(c):
+            dcd = scan.dc_diffs(c, n_luma, restart).reshape(-1)
+            cls = (jnp.arange(n_mcu * b, dtype=jnp.int32) % b >= n_luma)
+            return entropy_pack.block_pack(
+                c.reshape(-1, 64), cls.astype(jnp.int32), dcd)
+
+        f_sym_j = jax.jit(f_sym)
+        out["block_pack"] = _sync_time(f_sym_j, coeffs, iters=iters)
+        words, blens = f_sym_j(coeffs)
+        n_seg = -(-n_mcu // restart) if restart else 1
+        bps = (restart if restart else n_mcu) * b
+        w_cap = -(-bps * 384 // 32)
+        f_merge = jax.jit(lambda w, l: entropy_pack.seg_merge_v2(
+            w, l, n_seg, bps, w_cap, blocks_per_mcu=b))
+        out["seg_merge"] = _sync_time(f_merge, words, blens, iters=iters)
+        sw, sb = f_merge(words, blens)
+        fps = sw.shape[1] // 1024
+        f_cp = jax.jit(lambda w, bts: entropy_pack.compact_segments(
+            w, bts, fps))
+        out["compact"] = _sync_time(f_cp, sw, sb, iters=iters)
+    else:
+        f_sym = jax.jit(lambda c: scan.symbolize_scan(c, n_luma, restart))
+        out["symbolize"] = _sync_time(f_sym, coeffs, iters=iters)
+
+    # Host stages.
+    enc = Encoder(cfg)
+    enc.encode(img)                           # warm the compiled program
+    t0 = time.perf_counter()
+    scan_bytes, _ = enc.encode_to_scan(img)
+    out["fetch_and_assemble_host"] = time.perf_counter() - t0
+    out["native_available"] = float(native.available())
+    return out
+
+
+def speedup_table(img: np.ndarray, cfg: EncoderConfig,
+                  cpu: Optional[Dict[str, float]] = None) -> str:
+    """Formatted per-stage table, with a CPU-oracle speedup column when a
+    CPU timing dict is provided (the reference's printout format,
+    src/OpenCLProject_JpegEncoder.cpp:622-629)."""
+    dev = stage_report(img, cfg)
+    lines = [f"{'stage':>24} {'device':>12} {'cpu':>12} {'speedup':>9}"]
+    for k, v in dev.items():
+        if k == "native_available":
+            continue
+        c = (cpu or {}).get(k)
+        cs = f"{c * 1e3:9.2f} ms" if c else " " * 12
+        sp = f"{c / v:8.1f}x" if c else " " * 9
+        lines.append(f"{k:>24} {v * 1e3:9.2f} ms {cs} {sp}")
+    return "\n".join(lines)

@@ -1,0 +1,146 @@
+"""Command-line driver.
+
+The reference's driver has no CLI at all — image path, quality, work sizes
+are compiled in (src/OpenCLProject_JpegEncoder.cpp:255-320; SURVEY §5
+'Config / flag system: None'). This replaces it with a real flag system:
+
+    python -m jpegtpu.cli encode in.ppm [in2.ppm ...] -o out.jpg \
+        -q 90 --subsampling 420 --restart rows
+    python -m jpegtpu.cli info                       # device banner
+    python -m jpegtpu.cli bench in.ppm --stages      # per-stage telemetry
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _add_encode_flags(p):
+    p.add_argument("-q", "--quality", type=int, default=90)
+    p.add_argument("--subsampling", choices=["444", "444s", "420"],
+                   default="420")
+    p.add_argument("--restart", default="rows",
+                   help="restart interval in MCUs, 0 to disable, or 'rows'")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="use the XLA oracle paths end to end")
+    p.add_argument("--host-bitpack", action="store_true",
+                   help="disable on-device entropy kernels")
+
+
+def _config(args):
+    from jpegtpu.config import EncoderConfig
+    restart = args.restart if args.restart == "rows" else int(args.restart)
+    return EncoderConfig(quality=args.quality, subsampling=args.subsampling,
+                         restart_interval=restart,
+                         use_pallas=not args.no_pallas,
+                         device_bitpack=not args.host_bitpack)
+
+
+def cmd_encode(args) -> int:
+    from jpegtpu.encoder import Encoder
+    from jpegtpu.io import ppm
+
+    enc = Encoder(_config(args))
+    outputs = []
+    for i, path in enumerate(args.inputs):
+        img = ppm.read_pnm(path)
+        if img.ndim == 2:
+            img = img[..., None].repeat(3, axis=-1)
+        t0 = time.perf_counter()
+        jpg = enc.encode(img)
+        dt = time.perf_counter() - t0
+        if args.output and len(args.inputs) == 1:
+            out = args.output
+        else:
+            base = args.output or ""
+            stem = os.path.splitext(os.path.basename(path))[0] + ".jpg"
+            out = os.path.join(base, stem) if base else \
+                os.path.splitext(path)[0] + ".jpg"
+        with open(out, "wb") as f:
+            f.write(jpg)
+        outputs.append(out)
+        h, w = img.shape[:2]
+        print(f"{path} [{w}x{h}] -> {out} ({len(jpg)} bytes, "
+              f"{dt * 1e3:.1f} ms incl. first-use compile)" if i == 0 else
+              f"{path} [{w}x{h}] -> {out} ({len(jpg)} bytes, "
+              f"{dt * 1e3:.1f} ms)")
+    return 0
+
+
+def cmd_info(args) -> int:
+    """Device banner — the analog of OpenCL::printDeviceInfo
+    (lib/OpenCL/Device.cpp:33-43)."""
+    import jax
+    import jpegtpu
+    from jpegtpu import native
+
+    print(f"jpegtpu {jpegtpu.__version__}")
+    print(f"jax {jax.__version__}, backend {jax.default_backend()}")
+    for d in jax.devices():
+        print(f"  device {d.id}: {d.device_kind} ({d.platform})")
+    print(f"native helpers: {'loaded' if native.available() else 'absent'}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import numpy as np
+    from jpegtpu.bench import stages
+    from jpegtpu.io import ppm
+
+    if args.inputs:
+        img = ppm.read_pnm(args.inputs[0])
+    else:
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (2160, 3840, 3), dtype=np.uint8)
+    cfg = _config(args)
+    if args.stages:
+        print(stages.speedup_table(img, cfg))
+    else:
+        from jpegtpu.encoder import Encoder
+        enc = Encoder(cfg)
+        enc.encode(img)
+        n = args.iters
+        t0 = time.perf_counter()
+        for _ in range(n):
+            jpg = enc.encode(img)
+        dt = (time.perf_counter() - t0) / n
+        h, w = img.shape[:2]
+        print(json.dumps({
+            "image": f"{w}x{h}", "bytes": len(jpg),
+            "ms_per_frame_e2e": round(dt * 1e3, 2),
+            "mpix_s_e2e": round(h * w / dt / 1e6, 2)}))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="jpegtpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("encode", help="encode PPM images to JPEG")
+    p.add_argument("inputs", nargs="+")
+    p.add_argument("-o", "--output", default=None,
+                   help="output file (single input) or directory")
+    _add_encode_flags(p)
+    p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("info", help="print device/backend banner")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("bench", help="benchmark encode throughput")
+    p.add_argument("inputs", nargs="*")
+    p.add_argument("--stages", action="store_true",
+                   help="per-stage telemetry table")
+    p.add_argument("--iters", type=int, default=5)
+    _add_encode_flags(p)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -113,6 +113,12 @@ def _jitted_encode(shape: Tuple[int, int], cfg: EncoderConfig,
     restart, n_seg, mcus_per_seg = _geometry(shape, cfg)
     use_pallas_entropy = (cfg.device_bitpack and
                           jax.default_backend() == "tpu")
+    # The v2 merge stages a whole segment's MCU streams in VMEM; for very
+    # long segments (e.g. restart disabled on a large image) that exceeds
+    # VMEM — fall back to the XLA path there.
+    seg_vmem_bytes = mcus_per_seg * cfg.blocks_per_mcu * 64 * 4
+    if seg_vmem_bytes > 6 * 1024 * 1024:
+        use_pallas_entropy = False
     if use_pallas_entropy:
         fn = functools.partial(
             _device_encode_pallas, quality=cfg.quality,

@@ -1,0 +1,56 @@
+"""CLI driver tests (replaces the reference's flag-less hardcoded driver,
+SURVEY §5 'Config / flag system: None')."""
+
+import io
+
+import numpy as np
+import pytest
+
+from jpegtpu.cli import main
+from jpegtpu.io import ppm
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / mse)
+
+
+def test_cli_encode_roundtrip(tmp_path, smooth_img, capsys):
+    src = tmp_path / "img.ppm"
+    out = tmp_path / "img.jpg"
+    ppm.write_pnm(src, smooth_img)
+    rc = main(["encode", str(src), "-o", str(out), "-q", "85",
+               "--subsampling", "420"])
+    assert rc == 0
+    from PIL import Image
+    dec = np.asarray(Image.open(out).convert("RGB"))
+    assert dec.shape == smooth_img.shape
+    assert _psnr(dec, smooth_img) > 25
+    assert "bytes" in capsys.readouterr().out
+
+
+def test_cli_encode_default_output_and_gray(tmp_path):
+    src = tmp_path / "g.pgm"
+    rng = np.random.default_rng(0)
+    gray = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    ppm.write_pnm(src, gray)
+    rc = main(["encode", str(src), "-q", "90"])
+    assert rc == 0
+    from PIL import Image
+    dec = Image.open(tmp_path / "g.jpg")
+    assert dec.size == (24, 16)
+
+
+def test_cli_info(capsys):
+    assert main(["info"]) == 0
+    out = capsys.readouterr().out
+    assert "backend" in out and "device" in out
+
+
+def test_cli_bench_json(tmp_path, smooth_img, capsys):
+    src = tmp_path / "img.ppm"
+    ppm.write_pnm(src, smooth_img)
+    rc = main(["bench", str(src), "--iters", "1", "-q", "50"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "mpix_s_e2e" in out

@@ -121,13 +121,18 @@ def encode_batch_sharded(imgs: np.ndarray, cfg: EncoderConfig, mesh):
     stuffed = np.asarray(stuffed).reshape(b, -1, stuffed.shape[-1])
     nbytes = np.asarray(nbytes).reshape(b, -1)
 
+    # Shard-alignment padding may add whole MCU rows beyond what a decoder
+    # expects from the SOF dimensions; their segments sit at the tail of the
+    # segment order (row-major) and are simply dropped.
+    my_real, mx = ops.mcu_grid(h, w, cfg.subsampling)
+    n_seg_keep = my_real * (mx // restart)
+
     out = []
     for i in range(b):
         parts = []
-        n_seg = nbytes.shape[1]
-        for s in range(n_seg):
+        for s in range(n_seg_keep):
             parts.append(stuffed[i, s, :int(nbytes[i, s])].tobytes())
-            if s != n_seg - 1:
+            if s != n_seg_keep - 1:
                 parts.append(bytes((0xFF, 0xD0 + (s % 8))))
         out.append(jfif.wrap_jpeg(h, w, cfg.quality, cfg.subsampling,
                                   restart, b"".join(parts)))

@@ -93,6 +93,53 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
     return stream, seg_bits
 
 
+def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
+                                n_seg, mcus_per_seg, bits_budget, use_fused):
+    """Batched device program: [B, H, W, 3] -> one compacted stream + per-
+    segment bit counts for the whole batch.
+
+    Works by flattening the batch into the block dimension: with restart
+    segments that divide each image's MCU count (restart_interval='rows'),
+    image boundaries coincide with segment starts, so DC-predictor resets
+    and segment packing need no per-image special casing.
+    """
+    from jpegtpu.kernels import entropy_pack
+    n_luma = 4 if subsampling == "420" else 1
+    coeffs = _pixel_path(imgs, quality, subsampling, use_fused)
+    bsz, n_mcu, b, _ = coeffs.shape
+    flat = coeffs.reshape(bsz * n_mcu, b, 64)
+    dcd = scan.dc_diffs(flat, n_luma, restart).reshape(-1)
+    cls = (jnp.arange(bsz * n_mcu * b, dtype=jnp.int32) % b >= n_luma)
+    words, blens = entropy_pack.block_pack(
+        flat.reshape(-1, 64), cls.astype(jnp.int32), dcd)
+    bps = mcus_per_seg * b
+    w_cap = -(-bps * bits_budget // 32)
+    seg_words, seg_bits = entropy_pack.seg_merge_v2(
+        words, blens, bsz * n_seg, bps, w_cap, blocks_per_mcu=b)
+    frames_per_seg = seg_words.shape[1] // 1024
+    stream = entropy_pack.compact_segments(seg_words, seg_bits,
+                                           frames_per_seg)
+    return stream, seg_bits.reshape(bsz, n_seg)
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_encode_batch(batch: int, shape: Tuple[int, int],
+                         cfg: EncoderConfig, bits_budget: int = 0):
+    restart, n_seg, mcus_per_seg = _geometry(shape, cfg)
+    my, mx = ops.mcu_grid(*shape, cfg.subsampling)
+    if restart <= 0 or (my * mx) % restart:
+        raise ValueError(
+            "batched encode requires restart segments dividing each "
+            "image's MCU count (use restart_interval='rows')")
+    fn = functools.partial(
+        _device_encode_pallas_batch, quality=cfg.quality,
+        subsampling=cfg.subsampling, restart=restart, n_seg=n_seg,
+        mcus_per_seg=mcus_per_seg,
+        bits_budget=bits_budget or DEFAULT_BITS_BUDGET,
+        use_fused=cfg.use_pallas)
+    return jax.jit(fn), restart, n_seg
+
+
 def _geometry(shape: Tuple[int, int], cfg: EncoderConfig):
     h, w = shape
     my, mx = ops.mcu_grid(h, w, cfg.subsampling)
@@ -202,8 +249,54 @@ def encode(img: np.ndarray, quality: int = 50, subsampling: str = "420",
 
 
 def encode_batch(imgs: Sequence[np.ndarray], **kw) -> List[bytes]:
-    """Encode a batch (shared Encoder, so same-geometry images share one
-    compiled program). The sharded batch path lives in jpegtpu.dist."""
+    """Encode a batch of images.
+
+    Same-shaped uint8 batches on TPU run as ONE device program over
+    [B, H, W, 3] (fixed dispatch/compile overhead amortized across the
+    batch); anything else falls back to a shared per-image Encoder. The
+    multi-chip sharded path lives in jpegtpu.dist.
+    """
     cfg = EncoderConfig(**kw) if kw else EncoderConfig()
+    imgs = list(imgs)
+    shapes = {im.shape for im in imgs}
+    if (len(imgs) > 1 and len(shapes) == 1 and
+            cfg.device_bitpack and jax.default_backend() == "tpu"):
+        try:
+            return _encode_batch_fused(np.stack(imgs), cfg)
+        except ValueError:
+            pass
     enc = Encoder(cfg)
     return [enc.encode(im) for im in imgs]
+
+
+def _encode_batch_fused(imgs: np.ndarray, cfg: EncoderConfig) -> List[bytes]:
+    bsz, h, w = imgs.shape[:3]
+    fn, restart, n_seg = _jitted_encode_batch(bsz, (h, w), cfg)
+    stream, seg_bits = fn(jnp.asarray(imgs))
+    seg_bits_np = np.asarray(seg_bits)
+    frames = stream.shape[0] // (bsz * n_seg) // 1024
+    cap_bits = (frames - 1) * 1024 * 32
+    if int(seg_bits_np.max(initial=0)) > cap_bits:
+        fn, restart, n_seg = _jitted_encode_batch(
+            bsz, (h, w), cfg, MAX_BITS_PER_BLOCK)
+        stream, seg_bits = fn(jnp.asarray(imgs))
+        seg_bits_np = np.asarray(seg_bits)
+
+    nbytes = (seg_bits_np.astype(np.int64) + 7) // 8   # [B, n_seg]
+    total = int(nbytes.sum())
+    n_words = -(-total // 4)
+    gran = Encoder._FETCH_GRANULE
+    n_fetch = min(-(-n_words // gran) * gran, stream.shape[0])
+    raw = np.asarray(stream[:n_fetch]).view(np.uint8)[:total]
+
+    out = []
+    off = 0
+    for i in range(bsz):
+        nb = nbytes[i]
+        sz = int(nb.sum())
+        scan_bytes = native.stuff_assemble_contig(
+            raw[off:off + sz], nb.astype(np.int32), restart)
+        off += sz
+        out.append(jfif.wrap_jpeg(h, w, cfg.quality, cfg.subsampling,
+                                  restart, scan_bytes))
+    return out

@@ -51,7 +51,7 @@ from jpegtpu.entropy import huffman_tables as ht
 # Per-block word capacity: 63 AC * 26 bits + DC 22 bits = 1660 bits -> 52
 # words; +1 spill word, padded to 56 for layout friendliness.
 BLOCK_WORDS = 56
-_TILE = 256  # blocks per grid step in kernel B
+_TILE = 128  # two-block rows per grid step in kernel B
 
 
 def _interpret() -> bool:
@@ -101,20 +101,35 @@ def _size_category(av):
 
 def _block_pack_kernel(coeffs_ref, cls_ref, dcdiff_ref, ac_tbl_ref,
                        dc_tbl_ref, words_ref, lens_ref):
-    c = coeffs_ref[...].astype(jnp.int32)              # [T, 64]
-    cls = cls_ref[...].astype(jnp.int32)               # [T, 1]
-    dcdiff = dcdiff_ref[...].astype(jnp.int32)         # [T, 1]
+    """Two blocks per 128-lane row: lanes [0,64) are block A's zigzag slots,
+    [64,128) block B's. Every scan/select masks on k = lane%64, so the two
+    halves never interact and all ops run at native vector width."""
+    c = coeffs_ref[...].astype(jnp.int32)              # [T2, 128]
+    cls2 = cls_ref[...].astype(jnp.int32)              # [T2, 2]
+    dcd2 = dcdiff_ref[...].astype(jnp.int32)           # [T2, 2]
     t = c.shape[0]
-    k = jax.lax.broadcasted_iota(jnp.int32, (t, 64), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, 128), 1)
+    k = lane & 63                                       # slot within block
+    half = jnp.right_shift(lane, 6)                     # 0 / 1
+
+    def per_half(a2):
+        """[T2, 2] per-block scalars -> [T2, 128] per-lane broadcast."""
+        return jnp.where(half == 0, a2[:, 0:1], a2[:, 1:2])
+
+    cls = per_half(cls2)
+    dcdiff = per_half(dcd2)
 
     # --- run-length structure (cf. entropy.scan.block_symbols) ---
     nz = c != 0
     m = nz | (k == 0)                                   # DC slot sentinel
     masked = jnp.where(m, k, -1)
-    cmax = _cumlog(masked, jnp.maximum, -1)             # inclusive cummax
+    cmax = _cumlog64(masked, jnp.maximum, -1, k)        # per-half cummax
     prev = pltpu.roll(cmax, 1, axis=1)
-    prev = jnp.where(k == 0, 0, prev)                   # exclusive shift
-    last_nz = jnp.max(jnp.where(m, k, 0), axis=1, keepdims=True)
+    prev = jnp.where(k == 0, 0, prev)                   # half-safe shift
+    mk = jnp.where(m, k, 0)
+    lmax0 = jnp.max(jnp.where(half == 0, mk, 0), axis=1, keepdims=True)
+    lmax1 = jnp.max(jnp.where(half == 1, mk, 0), axis=1, keepdims=True)
+    last_nz = jnp.where(half == 0, lmax0, lmax1)
 
     run = k - prev - 1
     av = jnp.abs(c)
@@ -128,32 +143,26 @@ def _block_pack_kernel(coeffs_ref, cls_ref, dcdiff_ref, ac_tbl_ref,
 
     rs = jnp.where(emit_nz, ((run % 16) << 4) | size,
                    jnp.where(emit_zrl, ht.ZRL, ht.EOB))
-    # DC symbol index lives in slot 0 of a parallel lookup (dc table).
-    d_size = _size_category(jnp.abs(dcdiff))            # [T, 1]
+    d_size2 = _size_category(jnp.abs(dcd2))             # [T2, 2]
 
-    # --- Huffman lookup: native 128-lane gathers (tpu dynamic_gather via
-    # take_along_axis; idx must match src shape). The 512-entry AC table is
-    # gathered per 128-entry chunk and chunk-selected; entries pack
-    # (code << 5) | len so one gather fetches both fields.
-    idx = cls * 256 + rs                                # [T, 64] in [0,512)
-    idx_p = jnp.concatenate(
-        [idx, jnp.zeros((t, 64), jnp.int32)], axis=1)   # [T, 128]
-    low = idx_p & 127
-    chunk = idx_p >> 7
+    # --- Huffman lookup: native 128-lane gathers over the packed table.
+    idx = cls * 256 + rs                                # [T2,128] in [0,512)
+    low = idx & 127
+    chunk = jnp.right_shift(idx, 7)
     packed = jnp.zeros((t, 128), jnp.int32)
     for ci in range(4):
         tbl_c = jnp.broadcast_to(ac_tbl_ref[ci:ci + 1, :], (t, 128))
         g = jnp.take_along_axis(tbl_c, low, axis=1)
         packed = jnp.where(chunk == ci, g, packed)
-    a_code = jnp.right_shift(packed[:, :64], 5)
-    a_len = packed[:, :64] & 31
+    a_code = jnp.right_shift(packed, 5)
+    a_len = packed & 31
 
-    dc_idx = cls * 16 + d_size                          # [T, 1] in [0,32)
+    dc_idx = per_half(cls2 * 16 + d_size2)              # [T2, 128]
     dc_tbl = jnp.broadcast_to(dc_tbl_ref[...], (t, 128))
-    d_packed = jnp.take_along_axis(
-        dc_tbl, jnp.broadcast_to(dc_idx, (t, 128)), axis=1)[:, 0:1]
+    d_packed = jnp.take_along_axis(dc_tbl, dc_idx, axis=1)
     d_code = jnp.right_shift(d_packed, 5)
     d_len = d_packed & 31
+    d_size = per_half(d_size2)
 
     # --- symbol bits: code||magnitude, right-aligned ---
     mag_sz = jnp.where(emit_nz, size, 0)
@@ -172,13 +181,13 @@ def _block_pack_kernel(coeffs_ref, cls_ref, dcdiff_ref, ac_tbl_ref,
                              d_size.astype(jnp.uint32)) | d_mag)
     d_total = d_len + d_size
 
-    lens = jnp.where(k == 0, d_total, lens)             # [T, 64]
+    lens = jnp.where(k == 0, d_total, lens)             # [T2, 128]
     bits = jnp.where(k == 0, d_bits, bits)
 
     # --- per-block packing into BLOCK_WORDS big-endian u32 words ---
-    csum = _cumlog(lens, jnp.add, 0)                    # inclusive cumsum
+    csum = _cumlog64(lens, jnp.add, 0, k)               # per-half cumsum
     offs = csum - lens                                  # exclusive
-    total = csum[:, 63:64]                              # [T, 1] block bits
+    total = jnp.concatenate([csum[:, 63:64], csum[:, 127:128]], axis=1)
 
     w_idx = jnp.right_shift(offs, 5)
     b_in_w = offs & 31
@@ -191,50 +200,65 @@ def _block_pack_kernel(coeffs_ref, cls_ref, dcdiff_ref, ac_tbl_ref,
     rem_mask = jnp.where(rem > 0,
                          jnp.left_shift(jnp.uint32(1), rem_u) - 1, 0)
     lo = jnp.where(rem > 0,
-                   jnp.left_shift(bits & rem_mask, (32 - rem).astype(jnp.uint32)),
+                   jnp.left_shift(bits & rem_mask,
+                                  (32 - rem).astype(jnp.uint32)),
                    0)
 
     # Place (value, word) pairs: hi at w_idx, lo at w_idx+1. All bit ranges
     # are disjoint, so per-word accumulation is exact on 16-bit halves in
-    # f32. Word targets are NON-DECREASING along the slot axis, so instead
-    # of a 3D one-hot sum, each output word takes a difference of inclusive
-    # prefix sums at a rank found by branchless binary search (6 lane
-    # gathers) — everything stays 2D.
-    words = _place_monotone(hi, w_idx, k) + \
-        _place_monotone(lo, w_idx + 1, k)
+    # f32. Word targets are NON-DECREASING along each half's slot axis, so
+    # each output word is a difference of prefix sums at a rank found by
+    # branchless binary search — a scatter expressed entirely as gathers.
+    words = _place_monotone(hi, w_idx, k, half) + \
+        _place_monotone(lo, w_idx + 1, k, half)
 
-    words_ref[...] = words[:, :BLOCK_WORDS]
+    words_ref[...] = words
     lens_ref[...] = total
 
 
-def _place_monotone(v, wt, w_col):
-    """Scatter-by-monotone-key: v [T,64] u32 values, wt [T,64] sorted word
-    targets -> [T,64] u32 words (lane w = sum of v where wt == w)."""
+def _place_monotone(v, wt, k, half):
+    """Per-half scatter-by-monotone-key on two-block rows: v [T2,128] u32,
+    wt [T2,128] per-half-sorted word targets -> [T2,128] u32 (lane h*64+w =
+    sum of half-h values with wt == w)."""
     t = v.shape[0]
+    base = half * 64                                    # gather offset
     vh = pltpu.bitcast(jnp.right_shift(v, 16), jnp.int32).astype(jnp.float32)
     vl = pltpu.bitcast(v & 0xFFFF, jnp.int32).astype(jnp.float32)
-    psh = _cumlog(vh, jnp.add, 0.0)
-    psl = _cumlog(vl, jnp.add, 0.0)
+    psh = _cumlog64(vh, jnp.add, 0.0, k)
+    psl = _cumlog64(vl, jnp.add, 0.0, k)
 
-    # count[t, w] = #slots with wt <= w, via branchless binary search.
-    # Steps start at 64 (not 32) so count can reach the full 64 when every
-    # slot's target is <= w; probes clamp to the last slot.
-    pos = jnp.zeros((t, 64), jnp.int32)
+    # count[., w] = #slots with wt <= w, via branchless binary search.
+    # Steps start at 64 so the count can reach all 64 slots; probes clamp.
+    pos = jnp.zeros((t, 128), jnp.int32)
     for step in (64, 32, 16, 8, 4, 2, 1):
         cand = pos + step
-        probe = jnp.take_along_axis(wt, jnp.minimum(cand, 64) - 1, axis=1)
-        pos = jnp.where((cand <= 64) & (probe <= w_col), cand, pos)
+        probe = jnp.take_along_axis(
+            wt, jnp.minimum(cand, 64) - 1 + base, axis=1)
+        pos = jnp.where((cand <= 64) & (probe <= k), cand, pos)
 
     def ps_at(ps):
         g = jnp.take_along_axis(pltpu.bitcast(ps, jnp.int32),
-                                jnp.maximum(pos - 1, 0), axis=1)
+                                jnp.maximum(pos - 1, 0) + base, axis=1)
         g = pltpu.bitcast(g, jnp.float32)
         g = jnp.where(pos > 0, g, 0.0)
         prev = pltpu.roll(g, 1, axis=1)
-        cum = g - jnp.where(w_col == 0, 0.0, prev)
+        cum = g - jnp.where(k == 0, 0.0, prev)
         return pltpu.bitcast(cum.astype(jnp.int32), jnp.uint32)
 
     return jnp.left_shift(ps_at(psh), 16) | ps_at(psl)
+
+
+def _cumlog64(x, op, identity, k):
+    """Inclusive per-half scan along 128 lanes (halves of 64 never mix:
+    rolled values whose in-half index k < step are replaced by identity)."""
+    y = x
+    step = 1
+    while step < 64:
+        rolled = pltpu.roll(y, step, axis=1)
+        rolled = jnp.where(k >= step, rolled, identity)
+        y = op(y, rolled)
+        step *= 2
+    return y
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -243,7 +267,7 @@ def block_pack(coeffs: jax.Array, cls: jax.Array,
     """[N, 64] i32 zigzag blocks (+[N] class, [N] dcdiff) ->
     ([N, BLOCK_WORDS] u32 words, [N] i32 bit lengths). N % 32 == 0."""
     n = coeffs.shape[0]
-    pad = (-n) % _TILE
+    pad = (-n) % (2 * _TILE)
     if pad:
         coeffs = jnp.concatenate(
             [coeffs, jnp.zeros((pad, 64), coeffs.dtype)])
@@ -254,16 +278,17 @@ def block_pack(coeffs: jax.Array, cls: jax.Array,
         return w[:n], l[:n]
     ac_tbl = jnp.asarray(_lut_tables())
     dc_tbl = jnp.asarray(_dc_tables())
-    grid = (n // _TILE,)
+    n2 = n // 2                                        # two blocks per row
+    grid = (n2 // _TILE,)
     words, lens = pl.pallas_call(
         _block_pack_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((_TILE, 64), lambda i: (i, 0),
+            pl.BlockSpec((_TILE, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((_TILE, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((_TILE, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -271,18 +296,19 @@ def block_pack(coeffs: jax.Array, cls: jax.Array,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((_TILE, BLOCK_WORDS), lambda i: (i, 0),
+            pl.BlockSpec((_TILE, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, 1), lambda i: (i, 0),
+            pl.BlockSpec((_TILE, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((n, BLOCK_WORDS), jnp.uint32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n2, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n2, 2), jnp.int32),
         ),
         interpret=_interpret(),
-    )(coeffs, cls.reshape(n, 1), dcdiff.reshape(n, 1), ac_tbl, dc_tbl)
-    return words, lens.reshape(n)
+    )(coeffs.reshape(n2, 128), cls.reshape(n2, 2),
+      dcdiff.reshape(n2, 2), ac_tbl, dc_tbl)
+    return words.reshape(n, 64)[:, :BLOCK_WORDS], lens.reshape(n)
 
 
 def _mcu_merge_kernel(words_ref, lens_ref, mwords_ref, mlens_ref,

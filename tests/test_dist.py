@@ -1,0 +1,58 @@
+"""Sharded-encode tests on the virtual 8-device CPU mesh (stands in for a
+pod slice — SURVEY §4's multi-host test strategy)."""
+
+import jax
+import numpy as np
+import pytest
+
+from jpegtpu.config import EncoderConfig
+from jpegtpu.dist import mesh as mesh_lib
+from jpegtpu.dist import shard
+from jpegtpu.encoder import Encoder
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return mesh_lib.make_mesh(2, 4)
+
+
+def test_make_mesh_shapes():
+    n = len(jax.devices())
+    m = mesh_lib.make_mesh()
+    assert m.devices.size == n
+    with pytest.raises(ValueError):
+        mesh_lib.make_mesh(3, 3)
+
+
+def test_sharded_encode_matches_single_device(mesh24):
+    rng = np.random.default_rng(0)
+    cfg = EncoderConfig(quality=75, subsampling="420",
+                        restart_interval="rows")
+    # batch 4 (2 per data shard), H divides into 4 row-shards of 16
+    imgs = rng.integers(0, 256, (4, 64, 48, 3), dtype=np.uint8)
+    sharded = shard.encode_batch_sharded(imgs, cfg, mesh24)
+    enc = Encoder(cfg)
+    singles = [enc.encode(im) for im in imgs]
+    assert sharded == singles
+
+
+def test_sharded_encode_pads_rows(mesh24):
+    """Shard-alignment padding must be invisible: byte-identical files to
+    the single-device encoder (tail padding segments are dropped)."""
+    rng = np.random.default_rng(1)
+    cfg = EncoderConfig(quality=90, subsampling="444",
+                        restart_interval="rows")
+    imgs = rng.integers(0, 256, (2, 30, 24, 3), dtype=np.uint8)  # H=30 pads
+    sharded = shard.encode_batch_sharded(imgs, cfg, mesh24)
+    enc = Encoder(cfg)
+    singles = [enc.encode(im) for im in imgs]
+    assert sharded == singles
+
+
+def test_sharded_requires_row_aligned_restart(mesh24):
+    cfg = EncoderConfig(quality=75, subsampling="420", restart_interval=7)
+    imgs = np.zeros((2, 64, 48, 3), np.uint8)
+    with pytest.raises(ValueError, match="restart"):
+        shard.encode_batch_sharded(imgs, cfg, mesh24)

@@ -180,6 +180,31 @@ def test_fused_dctq_odd_sizes():
     assert np.abs(a - b).max() <= 1
 
 
+def test_encode_batch_fused_matches_single(monkeypatch):
+    """Batched device program must produce byte-identical files to the
+    per-image path (interpret mode)."""
+    import jpegtpu.encoder as enc_mod
+    import jpegtpu.kernels.entropy_pack as epk
+    from jpegtpu.config import EncoderConfig
+
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 256, (3, 24, 16, 3), dtype=np.uint8)
+    cfg = EncoderConfig(quality=80, subsampling="420",
+                        restart_interval="rows")
+    singles = [enc_mod.Encoder(cfg).encode(im) for im in imgs]
+
+    monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    enc_mod._jitted_encode.cache_clear()
+    enc_mod._jitted_encode_batch.cache_clear()
+    try:
+        batched = enc_mod._encode_batch_fused(imgs, cfg)
+    finally:
+        enc_mod._jitted_encode.cache_clear()
+        enc_mod._jitted_encode_batch.cache_clear()
+    assert batched == singles
+
+
 def test_encoder_pallas_entropy_path_end_to_end(monkeypatch):
     """Force the Pallas entropy path (interpret mode) through the public
     encoder and compare bytes with the XLA path."""

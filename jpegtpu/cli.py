@@ -44,14 +44,24 @@ def cmd_encode(args) -> int:
     from jpegtpu.encoder import Encoder
     from jpegtpu.io import ppm
 
-    enc = Encoder(_config(args))
+    import dataclasses
+
+    cfg = _config(args)
+    enc = Encoder(cfg)
+    gray_enc = None
     outputs = []
     for i, path in enumerate(args.inputs):
         img = ppm.read_pnm(path)
         if img.ndim == 2:
-            img = img[..., None].repeat(3, axis=-1)
+            # PGM input -> single-component grayscale JPEG
+            if gray_enc is None:
+                gray_enc = Encoder(dataclasses.replace(
+                    cfg, subsampling="gray"))
+            use = gray_enc
+        else:
+            use = enc
         t0 = time.perf_counter()
-        jpg = enc.encode(img)
+        jpg = use.encode(img)
         dt = time.perf_counter() - t0
         if args.output and len(args.inputs) == 1:
             out = args.output

@@ -22,7 +22,8 @@ from typing import Optional, Tuple
 #   "420"  — true 4:2:0: half-resolution chroma planes, 16x16 MCU with
 #            Y00,Y01,Y10,Y11,Cb,Cr interleave. The reference lists this as a
 #            target config but never implements it structurally (SURVEY §2.3).
-SUBSAMPLING_MODES = ("444", "444s", "420")
+#   "gray" — single-component (luma-only) JPEG for [H, W] grayscale input.
+SUBSAMPLING_MODES = ("444", "444s", "420", "gray")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -63,7 +64,13 @@ class EncoderConfig:
 
     @property
     def blocks_per_mcu(self) -> int:
+        if self.subsampling == "gray":
+            return 1
         return 6 if self.subsampling == "420" else 3
+
+    @property
+    def n_luma(self) -> int:
+        return 4 if self.subsampling == "420" else 1
 
     def resolve_restart(self, mcus_per_row: int) -> int:
         """Concrete restart interval in MCUs for a given image geometry."""

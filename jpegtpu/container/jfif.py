@@ -43,7 +43,11 @@ def dqt(quality: int) -> bytes:
 def sof0(height: int, width: int, subsampling: str) -> bytes:
     """Baseline DCT frame header. Component ids 1/2/3 = Y/Cb/Cr; sampling
     factors 2x2+1x1+1x1 for 4:2:0, all 1x1 for 4:4:4 (and the reference's
-    smoothed '444s' mode, which is structurally 4:4:4 — SURVEY §2.3)."""
+    smoothed '444s' mode, which is structurally 4:4:4 — SURVEY §2.3).
+    'gray' emits a single-component frame."""
+    if subsampling == "gray":
+        comps = bytes([1, 0x11, 0])
+        return _seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + comps)
     y_samp = 0x22 if subsampling == "420" else 0x11
     comps = bytes([1, y_samp, 0, 2, 0x11, 1, 3, 0x11, 1])
     return _seg(0xC0, struct.pack(">BHHB", 8, height, width, 3) + comps)
@@ -66,9 +70,12 @@ def dri(restart_interval: int) -> bytes:
     return _seg(0xDD, struct.pack(">H", restart_interval))
 
 
-def sos() -> bytes:
-    """Scan header: 3 interleaved components, Y uses tables 0/0, chroma 1/1;
-    spectral selection 0..63, no successive approximation (baseline)."""
+def sos(subsampling: str = "420") -> bytes:
+    """Scan header: 3 interleaved components (Y tables 0/0, chroma 1/1) or
+    a single luma component for 'gray'; spectral selection 0..63, no
+    successive approximation (baseline)."""
+    if subsampling == "gray":
+        return _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return _seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
 
 
@@ -79,5 +86,5 @@ def wrap_jpeg(height: int, width: int, quality: int, subsampling: str,
             sof0(height, width, subsampling), dht()]
     if restart_interval > 0:
         head.append(dri(restart_interval))
-    head.append(sos())
+    head.append(sos(subsampling))
     return b"".join(head) + entropy_scan + EOI

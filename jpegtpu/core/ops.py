@@ -155,8 +155,19 @@ def scan_blocks_420(y: jax.Array, cb: jax.Array, cr: jax.Array) -> jax.Array:
 
 
 def encode_blocks(img: jax.Array, quality: int, subsampling: str) -> jax.Array:
-    """uint8 RGB [..., H, W, 3] -> int32 [..., nMCU, B, 64] quantized zigzag
-    coefficients in scan order. The full pixel path, jit-able end to end."""
+    """uint8 RGB [..., H, W, 3] (or [..., H, W] for 'gray') -> int32
+    [..., nMCU, B, 64] quantized zigzag coefficients in scan order. The
+    full pixel path, jit-able end to end."""
+    if subsampling == "gray":
+        y = jnp.asarray(img).astype(jnp.float32)
+        if y.ndim >= 3 and y.shape[-1] == 1:
+            y = y[..., 0]
+        ypad = pad_to_multiple(y[..., None], 8)[..., 0]
+        yb = blockify(ypad)
+        *b, by, bx, _ = yb.shape
+        coeffs = fused_dct_quant_zigzag(
+            yb.reshape(*b, by * bx, 64), quality, chroma=False)
+        return coeffs[..., None, :]
     mcu = 16 if subsampling == "420" else 8
     ycc = rgb_to_ycbcr(img)
     if subsampling == "444s":

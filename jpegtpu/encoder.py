@@ -47,10 +47,14 @@ def _pixel_path(img, quality: str, subsampling: str, use_fused: bool):
     return ops.encode_blocks(img, quality, subsampling)
 
 
+def _n_luma(subsampling: str) -> int:
+    return 4 if subsampling == "420" else 1
+
+
 def _device_encode_xla(img, *, quality, subsampling, restart, n_seg,
                        mcus_per_seg, use_fused):
     """XLA-only device program -> stuffed segments (oracle/off-TPU path)."""
-    n_luma = 4 if subsampling == "420" else 1
+    n_luma = _n_luma(subsampling)
     coeffs = _pixel_path(img, quality, subsampling, use_fused)
     n_mcu, b, _ = coeffs.shape
     lens, bits = scan.symbolize_scan(coeffs, n_luma, restart)
@@ -68,7 +72,7 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
                           mcus_per_seg, bits_budget, use_fused):
     """Pallas device program -> unstuffed per-segment words + bit counts."""
     from jpegtpu.kernels import entropy_pack
-    n_luma = 4 if subsampling == "420" else 1
+    n_luma = _n_luma(subsampling)
     coeffs = _pixel_path(img, quality, subsampling, use_fused)
     n_mcu, b, _ = coeffs.shape
     dcd = scan.dc_diffs(coeffs, n_luma, restart).reshape(-1)
@@ -104,7 +108,7 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
     and segment packing need no per-image special casing.
     """
     from jpegtpu.kernels import entropy_pack
-    n_luma = 4 if subsampling == "420" else 1
+    n_luma = _n_luma(subsampling)
     coeffs = _pixel_path(imgs, quality, subsampling, use_fused)
     bsz, n_mcu, b, _ = coeffs.shape
     flat = coeffs.reshape(bsz * n_mcu, b, 64)
@@ -213,7 +217,13 @@ class Encoder:
 
     def encode_to_scan(self, img: np.ndarray) -> Tuple[bytes, int]:
         """Device pipeline + host assembly -> (entropy scan bytes, restart)."""
-        if img.ndim != 3 or img.shape[2] != 3:
+        if self.config.subsampling == "gray":
+            if img.ndim == 3 and img.shape[2] == 1:
+                img = img[..., 0]
+            if img.ndim != 2:
+                raise ValueError(
+                    f"gray mode expects [H, W] input, got {img.shape}")
+        elif img.ndim != 3 or img.shape[2] != 3:
             raise ValueError(f"expected [H, W, 3] RGB, got {img.shape}")
         kind, payload, meta, restart = self._run_device(img)
         if kind == "stream":

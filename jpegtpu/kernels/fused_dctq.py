@@ -98,9 +98,9 @@ def encode_blocks(img: jax.Array, quality: int, subsampling: str) -> jax.Array:
     """uint8 RGB [..., H, W, 3] -> int32 [..., nMCU, B, 64] scan-order
     quantized zigzag coefficients — identical to ops.encode_blocks, computed
     as one fused matmul."""
-    if subsampling == "444s":
-        # Reference-parity smoothing has image-global edge semantics that
-        # don't fold into a per-MCU operator; use the oracle path.
+    if subsampling in ("444s", "gray"):
+        # 444s smoothing has image-global edge semantics that don't fold
+        # into a per-MCU operator; gray is already a single matmul in ops.
         return ops.encode_blocks(img, quality, subsampling)
     mcu = 16 if subsampling == "420" else 8
     n_luma = 4 if subsampling == "420" else 1

@@ -90,6 +90,27 @@ def test_444s_mode_decodes(smooth_img):
     assert _psnr(dec, smooth_img) > 25
 
 
+def test_grayscale_single_component_jpeg(smooth_img):
+    """'gray' mode: single-component baseline JPEG from [H, W] input,
+    matching PIL's grayscale encoder quality (a capability beyond the
+    RGB-only reference)."""
+    from PIL import Image
+    gray = np.asarray(
+        np.clip(smooth_img @ [0.299, 0.587, 0.114], 0, 255)).astype(np.uint8)
+    jpg = encode(gray, quality=85, subsampling="gray")
+    dec = np.asarray(Image.open(io.BytesIO(jpg)))
+    assert dec.ndim == 2 and dec.shape == gray.shape
+    ours = _psnr(dec, gray)
+    buf = io.BytesIO()
+    Image.fromarray(gray, "L").save(buf, "JPEG", quality=85)
+    theirs = _psnr(np.asarray(Image.open(io.BytesIO(buf.getvalue()))), gray)
+    assert ours >= theirs - 0.1
+    # restart variants must decode identically
+    base = np.asarray(Image.open(io.BytesIO(
+        encode(gray, quality=85, subsampling="gray", restart_interval=0))))
+    np.testing.assert_array_equal(base, dec)
+
+
 def test_gray_image_compresses_tightly():
     img = np.full((64, 64, 3), 128, np.uint8)
     jpg = encode(img, quality=50, subsampling="420", restart_interval=0)

@@ -46,8 +46,8 @@ def stage_report(img: np.ndarray, cfg: EncoderConfig,
     """Per-stage wall times (seconds) of the device pipeline on the current
     default backend. Keys mirror CPUTelemetry's stages (src/utils.hpp:65-75)
     plus the entropy/container stages the reference never had."""
-    n_luma = 4 if cfg.subsampling == "420" else 1
-    mcu = cfg.mcu_size
+    n_luma = cfg.n_luma
+    mcu = cfg.mcu_shape
     my, mx = ops.mcu_grid(*img.shape[:2], cfg.subsampling)
     restart = cfg.resolve_restart(mx)
 

@@ -21,7 +21,8 @@ import time
 
 def _add_encode_flags(p):
     p.add_argument("-q", "--quality", type=int, default=90)
-    p.add_argument("--subsampling", choices=["444", "444s", "420"],
+    p.add_argument("--subsampling",
+                   choices=["444", "444s", "420", "422", "gray"],
                    default="420")
     p.add_argument("--restart", default="rows",
                    help="restart interval in MCUs, 0 to disable, or 'rows'")
@@ -29,6 +30,11 @@ def _add_encode_flags(p):
                    help="use the XLA oracle paths end to end")
     p.add_argument("--host-bitpack", action="store_true",
                    help="disable on-device entropy kernels")
+    p.add_argument("--dump-stages", metavar="DIR", default=None,
+                   help="write intermediate stage images (YCbCr planes, "
+                        "padded/subsampled chroma) as PGMs for inspection — "
+                        "the reference's debug-artifact workflow (SURVEY "
+                        "§4.1) as an opt-in flag")
 
 
 def _config(args):
@@ -60,6 +66,9 @@ def cmd_encode(args) -> int:
             use = gray_enc
         else:
             use = enc
+        if args.dump_stages and img.ndim == 3:
+            _dump_stages(img, _config(args), args.dump_stages,
+                         os.path.splitext(os.path.basename(path))[0])
         t0 = time.perf_counter()
         jpg = use.encode(img)
         dt = time.perf_counter() - t0
@@ -79,6 +88,31 @@ def cmd_encode(args) -> int:
               f"{path} [{w}x{h}] -> {out} ({len(jpg)} bytes, "
               f"{dt * 1e3:.1f} ms)")
     return 0
+
+
+def _dump_stages(img, cfg, out_dir, stem):
+    """Write per-stage debug artifacts (the reference dumps PPMs after each
+    CPU stage, src/OpenCLProject_JpegEncoder.cpp:32-123; here it's opt-in)."""
+    import numpy as np
+    from jpegtpu.core import ops
+    from jpegtpu.io import ppm
+
+    os.makedirs(out_dir, exist_ok=True)
+    ycc = np.asarray(ops.rgb_to_ycbcr(img))
+    names = ["y", "cb", "cr"]
+    for c, n in enumerate(names):
+        ppm.write_pnm(os.path.join(out_dir, f"{stem}_{n}.pgm"),
+                      np.clip(ycc[..., c], 0, 255).astype(np.uint8))
+    padded = np.asarray(ops.pad_to_multiple(ycc, cfg.mcu_size))
+    ppm.write_pnm(os.path.join(out_dir, f"{stem}_y_padded.pgm"),
+                  np.clip(padded[..., 0], 0, 255).astype(np.uint8))
+    if cfg.subsampling == "420":
+        import jax.numpy as jnp
+        _, cb, cr = ops.downsample_chroma_420(jnp.asarray(padded))
+        ppm.write_pnm(os.path.join(out_dir, f"{stem}_cb_420.pgm"),
+                      np.clip(np.asarray(cb), 0, 255).astype(np.uint8))
+        ppm.write_pnm(os.path.join(out_dir, f"{stem}_cr_420.pgm"),
+                      np.clip(np.asarray(cr), 0, 255).astype(np.uint8))
 
 
 def cmd_info(args) -> int:

@@ -22,8 +22,9 @@ from typing import Optional, Tuple
 #   "420"  — true 4:2:0: half-resolution chroma planes, 16x16 MCU with
 #            Y00,Y01,Y10,Y11,Cb,Cr interleave. The reference lists this as a
 #            target config but never implements it structurally (SURVEY §2.3).
+#   "422"  — 2x1 subsampling: half-width chroma, 16x8 MCU with Y0,Y1,Cb,Cr.
 #   "gray" — single-component (luma-only) JPEG for [H, W] grayscale input.
-SUBSAMPLING_MODES = ("444", "444s", "420", "gray")
+SUBSAMPLING_MODES = ("444", "444s", "420", "422", "gray")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,18 +60,23 @@ class EncoderConfig:
             raise ValueError("restart_interval must be >= 0")
 
     @property
+    def mcu_shape(self) -> tuple:
+        """(height, width) of one MCU in pixels."""
+        return {"420": (16, 16), "422": (8, 16)}.get(self.subsampling,
+                                                     (8, 8))
+
+    @property
     def mcu_size(self) -> int:
-        return 16 if self.subsampling == "420" else 8
+        """Max MCU dimension (padding granularity for square-safe uses)."""
+        return max(self.mcu_shape)
 
     @property
     def blocks_per_mcu(self) -> int:
-        if self.subsampling == "gray":
-            return 1
-        return 6 if self.subsampling == "420" else 3
+        return {"420": 6, "422": 4, "gray": 1}.get(self.subsampling, 3)
 
     @property
     def n_luma(self) -> int:
-        return 4 if self.subsampling == "420" else 1
+        return {"420": 4, "422": 2}.get(self.subsampling, 1)
 
     def resolve_restart(self, mcus_per_row: int) -> int:
         """Concrete restart interval in MCUs for a given image geometry."""

@@ -48,7 +48,7 @@ def sof0(height: int, width: int, subsampling: str) -> bytes:
     if subsampling == "gray":
         comps = bytes([1, 0x11, 0])
         return _seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + comps)
-    y_samp = 0x22 if subsampling == "420" else 0x11
+    y_samp = {"420": 0x22, "422": 0x21}.get(subsampling, 0x11)
     comps = bytes([1, y_samp, 0, 2, 0x11, 1, 3, 0x11, 1])
     return _seg(0xC0, struct.pack(">BHHB", 8, height, width, 3) + comps)
 

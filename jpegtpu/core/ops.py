@@ -58,15 +58,22 @@ def smooth_chroma_2x2(ycc: jax.Array) -> jax.Array:
     return out
 
 
-def pad_to_multiple(img: jax.Array, multiple: int) -> jax.Array:
-    """Mirror-pad H and W (axes -3, -2 of [..., H, W, C]) up to `multiple`.
+def mcu_shape(subsampling: str):
+    """(mcu_height, mcu_width) in pixels for a subsampling mode."""
+    return {"420": (16, 16), "422": (8, 16)}.get(subsampling, (8, 8))
+
+
+def pad_to_multiple(img: jax.Array, multiple) -> jax.Array:
+    """Mirror-pad H and W (axes -3, -2 of [..., H, W, C]) up to `multiple`
+    (an int, or an (mh, mw) pair for non-square MCUs like 4:2:2).
 
     Symmetric (edge-inclusive) reflection — the same family of mirror padding
     as addReversedPadding (src/utils.cpp:211-233). Shape-static under jit.
     """
+    mh, mw = (multiple, multiple) if isinstance(multiple, int) else multiple
     h, w = img.shape[-3], img.shape[-2]
-    ph = (-h) % multiple
-    pw = (-w) % multiple
+    ph = (-h) % mh
+    pw = (-w) % mw
     if ph == 0 and pw == 0:
         return img
     if ph >= h or pw >= w:  # degenerate tiny images: fall back to edge pad
@@ -75,6 +82,17 @@ def pad_to_multiple(img: jax.Array, multiple: int) -> jax.Array:
         mode = "symmetric"
     pad = [(0, 0)] * (img.ndim - 3) + [(0, ph), (0, pw), (0, 0)]
     return jnp.pad(img, pad, mode=mode)
+
+
+def downsample_chroma_422(ycc: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """[..., H, W, 3] (W even) -> (Y, Cb, Cr) with half-WIDTH chroma (2x1
+    horizontal averaging — 4:2:2, a mode the reference lacks entirely)."""
+    y = ycc[..., 0]
+    c = ycc[..., 1:]
+    w = c.shape[-2]
+    c2 = c.reshape(*c.shape[:-2], w // 2, 2, 2)
+    cd = jnp.mean(c2, axis=-2)
+    return y, cd[..., 0], cd[..., 1]
 
 
 def downsample_chroma_420(ycc: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
@@ -138,6 +156,19 @@ def scan_blocks_444(y: jax.Array, cb: jax.Array, cr: jax.Array) -> jax.Array:
     return stk.reshape(*b, by * bx, s, 64)
 
 
+def scan_blocks_422(y: jax.Array, cb: jax.Array, cr: jax.Array) -> jax.Array:
+    """Y [..., H, W], Cb/Cr [..., H, W/2] -> [..., nMCU, 4, 64] in scan
+    order Y0, Y1, Cb, Cr per 16x8 MCU (T.81 A.2.3 interleave for 2x1)."""
+    yb = blockify(y)                                   # [..., By, 2Mx, 64]
+    *b, by, bx, _ = yb.shape
+    mx = bx // 2
+    y2 = yb.reshape(*b, by, mx, 2, 64)
+    cbb = blockify(cb)[..., :, :, None, :]             # [..., by, mx, 1, 64]
+    crb = blockify(cr)[..., :, :, None, :]
+    stk = jnp.concatenate([y2, cbb, crb], axis=-2)     # [..., by, mx, 4, 64]
+    return stk.reshape(*b, by * mx, 4, 64)
+
+
 def scan_blocks_420(y: jax.Array, cb: jax.Array, cr: jax.Array) -> jax.Array:
     """Y [..., H, W], Cb/Cr [..., H/2, W/2] -> [..., nMCU, 6, 64] in scan
     order Y00, Y01, Y10, Y11, Cb, Cr per 16x16 MCU (JPEG interleaved scan,
@@ -168,15 +199,18 @@ def encode_blocks(img: jax.Array, quality: int, subsampling: str) -> jax.Array:
         coeffs = fused_dct_quant_zigzag(
             yb.reshape(*b, by * bx, 64), quality, chroma=False)
         return coeffs[..., None, :]
-    mcu = 16 if subsampling == "420" else 8
     ycc = rgb_to_ycbcr(img)
     if subsampling == "444s":
         ycc = smooth_chroma_2x2(ycc)
-    ycc = pad_to_multiple(ycc, mcu)
+    ycc = pad_to_multiple(ycc, mcu_shape(subsampling))
     if subsampling == "420":
         y, cb, cr = downsample_chroma_420(ycc)
         blocks = scan_blocks_420(y, cb, cr)
         n_luma = 4
+    elif subsampling == "422":
+        y, cb, cr = downsample_chroma_422(ycc)
+        blocks = scan_blocks_422(y, cb, cr)
+        n_luma = 2
     else:
         blocks = scan_blocks_444(ycc[..., 0], ycc[..., 1], ycc[..., 2])
         n_luma = 1
@@ -187,5 +221,5 @@ def encode_blocks(img: jax.Array, quality: int, subsampling: str) -> jax.Array:
 
 def mcu_grid(h: int, w: int, subsampling: str) -> Tuple[int, int]:
     """MCU grid (rows, cols) for an image of size h x w."""
-    mcu = 16 if subsampling == "420" else 8
-    return -(-h // mcu), -(-w // mcu)
+    mh, mw = mcu_shape(subsampling)
+    return -(-h // mh), -(-w // mw)

@@ -62,7 +62,7 @@ def _build_sharded(mesh_key, shape: Tuple[int, int, int], cfg: EncoderConfig):
     mesh = _MESHES[mesh_key]
     b, h, w = shape
     n_row = mesh.shape[mesh_lib.ROW_AXIS]
-    mcu = cfg.mcu_size
+    mcu = cfg.mcu_shape[0]
     if h % (n_row * mcu):
         raise ValueError(f"padded H {h} must divide into {n_row} row shards "
                          f"of whole MCU rows")
@@ -108,8 +108,8 @@ def encode_batch_sharded(imgs: np.ndarray, cfg: EncoderConfig, mesh):
     """
     b, h, w = imgs.shape[:3]
     n_row = mesh.shape[mesh_lib.ROW_AXIS]
-    mcu = cfg.mcu_size
-    mult_h, mult_w = n_row * mcu, mcu
+    mh, mw = cfg.mcu_shape
+    mult_h, mult_w = n_row * mh, mw
     ph, pw = (-h) % mult_h, (-w) % mult_w
     if ph or pw:
         imgs = np.pad(imgs, [(0, 0), (0, ph), (0, pw), (0, 0)],

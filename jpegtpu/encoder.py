@@ -48,7 +48,7 @@ def _pixel_path(img, quality: str, subsampling: str, use_fused: bool):
 
 
 def _n_luma(subsampling: str) -> int:
-    return 4 if subsampling == "420" else 1
+    return {"420": 4, "422": 2}.get(subsampling, 1)
 
 
 def _device_encode_xla(img, *, quality, subsampling, restart, n_seg,

@@ -42,12 +42,14 @@ def mcu_operator(quality: int, subsampling: str) -> Tuple[np.ndarray, np.ndarray
     444: Y,Cb,Cr).
     """
     if subsampling == "420":
-        mcu, n_luma = 16, 4
+        (mh, mw), n_luma = (16, 16), 4
+    elif subsampling == "422":
+        (mh, mw), n_luma = (8, 16), 2
     elif subsampling == "444":
-        mcu, n_luma = 8, 1
+        (mh, mw), n_luma = (8, 8), 1
     else:
         raise ValueError(f"unsupported fused subsampling {subsampling!r}")
-    in_dim = mcu * mcu * 3
+    in_dim = mh * mw * 3
     out_dim = (n_luma + 2) * 64
 
     m_l, b_l = tables.fused_block_operator(quality, chroma=False)
@@ -59,12 +61,12 @@ def mcu_operator(quality: int, subsampling: str) -> Tuple[np.ndarray, np.ndarray
     big = np.zeros((in_dim, out_dim), np.float64)
     bias = np.zeros(out_dim, np.float64)
 
-    ys, xs = np.mgrid[0:mcu, 0:mcu]
+    ys, xs = np.mgrid[0:mh, 0:mw]
     for c in range(3):
-        pix = (ys * mcu + xs) * 3 + c             # input index per (y, x)
-        # Luma blocks: passthrough samples.
+        pix = (ys * mw + xs) * 3 + c              # input index per (y, x)
+        # Luma blocks: passthrough samples, raster order within the MCU.
         for blk in range(n_luma):
-            by, bx = divmod(blk, mcu // 8)
+            by, bx = divmod(blk, mw // 8)
             sel = (slice(by * 8, by * 8 + 8), slice(bx * 8, bx * 8 + 8))
             samp = (ys[sel] % 8) * 8 + (xs[sel] % 8)
             big[pix[sel].ravel(), blk * 64:(blk + 1) * 64] += \
@@ -74,6 +76,9 @@ def mcu_operator(quality: int, subsampling: str) -> Tuple[np.ndarray, np.ndarray
         if subsampling == "420":
             samp = (ys // 2) * 8 + (xs // 2)
             scale = 0.25
+        elif subsampling == "422":
+            samp = ys * 8 + (xs // 2)
+            scale = 0.5
         else:
             samp = ys * 8 + xs
             scale = 1.0
@@ -86,12 +91,12 @@ def mcu_operator(quality: int, subsampling: str) -> Tuple[np.ndarray, np.ndarray
     return big.astype(np.float32), bias.astype(np.float32)
 
 
-def mcu_tiles(img: jax.Array, mcu: int) -> jax.Array:
-    """uint8 [..., H, W, 3] (padded) -> [..., nMCU, mcu*mcu*3]."""
+def mcu_tiles(img: jax.Array, mh: int, mw: int) -> jax.Array:
+    """uint8 [..., H, W, 3] (padded) -> [..., nMCU, mh*mw*3]."""
     *b, h, w, _ = img.shape
-    x = img.reshape(*b, h // mcu, mcu, w // mcu, mcu, 3)
+    x = img.reshape(*b, h // mh, mh, w // mw, mw, 3)
     x = jnp.swapaxes(x, -4, -3)
-    return x.reshape(*b, (h // mcu) * (w // mcu), mcu * mcu * 3)
+    return x.reshape(*b, (h // mh) * (w // mw), mh * mw * 3)
 
 
 def encode_blocks(img: jax.Array, quality: int, subsampling: str) -> jax.Array:
@@ -102,11 +107,11 @@ def encode_blocks(img: jax.Array, quality: int, subsampling: str) -> jax.Array:
         # 444s smoothing has image-global edge semantics that don't fold
         # into a per-MCU operator; gray is already a single matmul in ops.
         return ops.encode_blocks(img, quality, subsampling)
-    mcu = 16 if subsampling == "420" else 8
-    n_luma = 4 if subsampling == "420" else 1
+    mh, mw = ops.mcu_shape(subsampling)
+    n_luma = {"420": 4, "422": 2}.get(subsampling, 1)
     m, bias = mcu_operator(quality, subsampling)
-    padded = ops.pad_to_multiple(jnp.asarray(img), mcu)
-    x = mcu_tiles(padded, mcu).astype(jnp.float32)
+    padded = ops.pad_to_multiple(jnp.asarray(img), (mh, mw))
+    x = mcu_tiles(padded, mh, mw).astype(jnp.float32)
     y = x @ jnp.asarray(m) + jnp.asarray(bias)
     y = ops.round_half_away(y).astype(jnp.int32)
     *b, n, _ = y.shape

@@ -41,6 +41,19 @@ def test_cli_encode_default_output_and_gray(tmp_path):
     assert dec.size == (24, 16)
 
 
+def test_cli_dump_stages(tmp_path, smooth_img):
+    src = tmp_path / "img.ppm"
+    ppm.write_pnm(src, smooth_img)
+    dump = tmp_path / "stages"
+    rc = main(["encode", str(src), "-o", str(tmp_path / "o.jpg"),
+               "--dump-stages", str(dump)])
+    assert rc == 0
+    got = sorted(p.name for p in dump.iterdir())
+    assert "img_y.pgm" in got and "img_cb_420.pgm" in got
+    y = ppm.read_pnm(dump / "img_y.pgm")
+    assert y.shape == smooth_img.shape[:2]
+
+
 def test_cli_info(capsys):
     assert main(["info"]) == 0
     out = capsys.readouterr().out

@@ -157,7 +157,7 @@ def test_mcu_merge_against_block_oracle():
                                       err_msg=f"mcu {i}")
 
 
-@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("subsampling", ["444", "422", "420"])
 @pytest.mark.parametrize("quality", [35, 90])
 def test_fused_dctq_matches_ops(subsampling, quality):
     rng = np.random.default_rng(quality)
@@ -203,6 +203,30 @@ def test_encode_batch_fused_matches_single(monkeypatch):
         enc_mod._jitted_encode.cache_clear()
         enc_mod._jitted_encode_batch.cache_clear()
     assert batched == singles
+
+
+def test_budget_escalation(monkeypatch):
+    """A tiny bits budget must trigger the worst-case re-run, with output
+    identical to the XLA path (correctness is unconditional)."""
+    import jpegtpu.encoder as enc_mod
+    import jpegtpu.kernels.entropy_pack as epk
+    from jpegtpu.config import EncoderConfig
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)  # noise: dense
+    cfg = EncoderConfig(quality=100, subsampling="444",
+                        restart_interval="rows")
+    xla_bytes = enc_mod.Encoder(cfg).encode(img)
+
+    monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(enc_mod, "DEFAULT_BITS_BUDGET", 48)  # force overflow
+    enc_mod._jitted_encode.cache_clear()
+    try:
+        pallas_bytes = enc_mod.Encoder(cfg).encode(img)
+    finally:
+        enc_mod._jitted_encode.cache_clear()
+    assert pallas_bytes == xla_bytes
 
 
 def test_encoder_pallas_entropy_path_end_to_end(monkeypatch):

@@ -24,13 +24,14 @@ def _pil_decode(jpg):
 def _pil_encode(img, quality, subsampling):
     from PIL import Image
     buf = io.BytesIO()
+    pil_mode = {"444": 0, "422": 1, "420": 2}[subsampling]
     Image.fromarray(img).save(buf, "JPEG", quality=quality,
-                              subsampling=2 if subsampling == "420" else 0)
+                              subsampling=pil_mode)
     return buf.getvalue()
 
 
 @pytest.mark.parametrize("quality", [50, 75, 90])
-@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("subsampling", ["444", "422", "420"])
 def test_psnr_matches_libjpeg(smooth_img, quality, subsampling):
     jpg = encode(smooth_img, quality=quality, subsampling=subsampling)
     ours = _psnr(_pil_decode(jpg), smooth_img)
@@ -77,7 +78,7 @@ def test_odd_sizes(shape):
     handles one padded 256x256 case — SURVEY §2.11)."""
     rng = np.random.default_rng(shape[0] * 100 + shape[1])
     img = rng.integers(0, 256, (*shape, 3), dtype=np.uint8)
-    for sub in ["444", "420"]:
+    for sub in ["444", "422", "420"]:
         jpg = encode(img, quality=90, subsampling=sub)
         dec = _pil_decode(jpg)
         assert dec.shape == img.shape

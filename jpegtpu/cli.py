@@ -130,6 +130,42 @@ def cmd_info(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    """Encode -> independent decode (PIL) -> PSNR/size report: the
+    operator-facing replacement for the reference's eyeball-the-PPM-dumps
+    verification loop (SURVEY §4)."""
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    from jpegtpu.encoder import Encoder
+    from jpegtpu.io import loader
+
+    cfg = _config(args)
+    imgs = loader.load_images(args.inputs)
+    enc = Encoder(cfg)
+    import dataclasses
+    ok = True
+    for path, img in zip(args.inputs, imgs):
+        use = enc
+        if img.ndim == 2:
+            use = Encoder(dataclasses.replace(cfg, subsampling="gray"))
+        jpg = use.encode(img)
+        dec = Image.open(_io.BytesIO(jpg))
+        arr = np.asarray(dec.convert("RGB") if img.ndim == 3 else dec)
+        if arr.shape != img.shape:
+            print(f"{path}: FAIL decoded shape {arr.shape} != {img.shape}")
+            ok = False
+            continue
+        mse = np.mean((arr.astype(np.float64) - img.astype(np.float64)) ** 2)
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+        raw = img.size
+        print(f"{path}: OK {len(jpg)}B ({raw / len(jpg):.1f}:1) "
+              f"PSNR {psnr:.2f} dB")
+    return 0 if ok else 1
+
+
 def cmd_bench(args) -> int:
     import numpy as np
     from jpegtpu.bench import stages
@@ -173,6 +209,12 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("info", help="print device/backend banner")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("verify", help="encode then decode (PIL) and report "
+                                      "PSNR/size per input")
+    p.add_argument("inputs", nargs="+")
+    _add_encode_flags(p)
+    p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser("bench", help="benchmark encode throughput")
     p.add_argument("inputs", nargs="*")

@@ -1,0 +1,54 @@
+"""Batch image loading (SURVEY §7 item 6: 'PPM reader/writer, batch loader').
+
+Feeds the batched/sharded encode paths: loads many PNM files (thread pool —
+file I/O releases the GIL), groups them by shape so each group can run as
+one device program (jpegtpu.encoder.encode_batch), and can emit a stacked
+uint8 array ready for jpegtpu.dist.encode_batch_sharded.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures
+import os
+from pathlib import Path
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+from jpegtpu.io import ppm
+
+
+def load_images(paths: Sequence, max_workers: int = 8) -> List[np.ndarray]:
+    """Load many PNM files concurrently, preserving order."""
+    paths = [str(p) for p in paths]
+    if len(paths) <= 1:
+        return [ppm.read_pnm(p) for p in paths]
+    with concurrent.futures.ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return list(ex.map(ppm.read_pnm, paths))
+
+
+def scan_dir(directory, exts=(".ppm", ".pgm")) -> List[str]:
+    """Sorted PNM paths under a directory."""
+    d = Path(directory)
+    return sorted(str(p) for p in d.iterdir()
+                  if p.suffix.lower() in exts and p.is_file())
+
+
+def group_by_shape(imgs: Iterable[np.ndarray]
+                   ) -> Dict[Tuple[int, ...], List[int]]:
+    """{shape: [original indices]} — each group can be one stacked batch."""
+    groups: Dict[Tuple[int, ...], List[int]] = {}
+    for i, im in enumerate(imgs):
+        groups.setdefault(tuple(im.shape), []).append(i)
+    return groups
+
+
+def load_batch(paths: Sequence, max_workers: int = 8) -> np.ndarray:
+    """Load same-shaped images as one stacked [B, H, W, 3] uint8 array
+    (raises if shapes differ — use load_images + group_by_shape for mixed
+    inputs)."""
+    imgs = load_images(paths, max_workers)
+    shapes = {im.shape for im in imgs}
+    if len(shapes) > 1:
+        raise ValueError(f"mixed shapes in batch: {sorted(shapes)}")
+    return np.stack(imgs)

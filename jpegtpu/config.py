@@ -10,7 +10,6 @@ mesh shape are all first-class runtime parameters.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
 
 
 # Chroma subsampling modes.

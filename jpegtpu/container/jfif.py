@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import struct
 
-import numpy as np
 
 from jpegtpu.core import tables
 from jpegtpu.entropy import huffman_tables as ht

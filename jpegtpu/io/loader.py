@@ -9,7 +9,6 @@ uint8 array ready for jpegtpu.dist.encode_batch_sharded.
 from __future__ import annotations
 
 import concurrent.futures
-import os
 from pathlib import Path
 from typing import Dict, Iterable, List, Sequence, Tuple
 

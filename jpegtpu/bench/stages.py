@@ -109,18 +109,44 @@ def stage_report(img: np.ndarray, cfg: EncoderConfig,
     return out
 
 
+def cpu_reference_time(img: np.ndarray, cfg: EncoderConfig,
+                       iters: int = 3) -> Optional[float]:
+    """Wall seconds of the native sequential C++ encoder (the reference's
+    CPU-pipeline analog) on the same image, or None if unavailable."""
+    from jpegtpu.core import ops as _ops
+    _, mx = _ops.mcu_grid(*img.shape[:2], cfg.subsampling)
+    restart = cfg.resolve_restart(mx)
+    if native.cpu_encode_scan(img, cfg.quality, cfg.subsampling,
+                              restart) is None:
+        return None
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        native.cpu_encode_scan(img, cfg.quality, cfg.subsampling, restart)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2]
+
+
 def speedup_table(img: np.ndarray, cfg: EncoderConfig,
                   cpu: Optional[Dict[str, float]] = None) -> str:
-    """Formatted per-stage table, with a CPU-oracle speedup column when a
-    CPU timing dict is provided (the reference's printout format,
-    src/OpenCLProject_JpegEncoder.cpp:622-629)."""
+    """Formatted per-stage table plus a total CPU-vs-device speedup row —
+    the reference's printout format (src/OpenCLProject_JpegEncoder.cpp:
+    622-629), with our native C++ sequential encoder as the CPU side."""
     dev = stage_report(img, cfg)
     lines = [f"{'stage':>24} {'device':>12} {'cpu':>12} {'speedup':>9}"]
+    dev_total = 0.0
     for k, v in dev.items():
         if k == "native_available":
             continue
+        dev_total += v
         c = (cpu or {}).get(k)
         cs = f"{c * 1e3:9.2f} ms" if c else " " * 12
         sp = f"{c / v:8.1f}x" if c else " " * 9
         lines.append(f"{k:>24} {v * 1e3:9.2f} ms {cs} {sp}")
+    cpu_total = cpu_reference_time(img, cfg)
+    if cpu_total is not None:
+        lines.append(f"{'total (vs C++ CPU ref)':>24} "
+                     f"{dev_total * 1e3:9.2f} ms {cpu_total * 1e3:9.2f} ms "
+                     f"{cpu_total / dev_total:8.1f}x")
     return "\n".join(lines)

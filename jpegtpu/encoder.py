@@ -258,6 +258,24 @@ def encode(img: np.ndarray, quality: int = 50, subsampling: str = "420",
     return Encoder(cfg).encode(img)
 
 
+def encode_cpu(img: np.ndarray, quality: int = 50, subsampling: str = "420",
+               restart_interval: int | str = "rows") -> bytes:
+    """Sequential native-C++ reference encode (the CPU-tier oracle,
+    mirroring the reference's JpegEncoderHost pipeline). Produces a
+    complete JFIF file; raises if the native library is unavailable."""
+    cfg = EncoderConfig(quality=quality, subsampling=subsampling,
+                        restart_interval=restart_interval)
+    h, w = img.shape[:2]
+    _, mx = ops.mcu_grid(h, w, cfg.subsampling)
+    restart = cfg.resolve_restart(mx)
+    scan_bytes = native.cpu_encode_scan(img, cfg.quality, cfg.subsampling,
+                                        restart)
+    if scan_bytes is None:
+        raise RuntimeError("native CPU encoder unavailable")
+    return jfif.wrap_jpeg(h, w, cfg.quality, cfg.subsampling, restart,
+                          scan_bytes)
+
+
 def encode_batch(imgs: Sequence[np.ndarray], **kw) -> List[bytes]:
     """Encode a batch of images.
 

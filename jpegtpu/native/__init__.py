@@ -41,6 +41,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.stuff_assemble_contig.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_longlong]
+        lib.cpu_encode_scan.restype = ctypes.c_longlong
+        lib.cpu_encode_scan.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_longlong]
         lib.parse_pnm_header.restype = ctypes.c_int
         lib.parse_pnm_header.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
@@ -84,6 +90,45 @@ def stuff_assemble(segs: np.ndarray, nbytes: np.ndarray,
         if restart > 0 and s != n_seg - 1:
             parts.append(bytes((0xFF, 0xD0 + (s % 8))))
     return b"".join(parts)
+
+
+_CPU_MODES = {"444": 0, "422": 1, "420": 2, "gray": 3}
+
+
+def cpu_encode_scan(img: np.ndarray, quality: int, subsampling: str,
+                    restart: int):
+    """Sequential C++ reference encoder -> stuffed entropy scan bytes
+    (with RST markers), or None if the native library is unavailable.
+
+    The CPU-tier analog of the reference's JpegEncoderHost pipeline; all
+    tables come from the same Python sources as the device path."""
+    lib = _load()
+    if lib is None or subsampling not in _CPU_MODES:
+        return None
+    from jpegtpu.core import tables
+    from jpegtpu.entropy import huffman_tables as ht
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    qtab = np.concatenate([
+        tables.quant_table_zigzag(quality, chroma=False),
+        tables.quant_table_zigzag(quality, chroma=True)]).astype(np.uint16)
+    zig = np.ascontiguousarray(tables.ZIGZAG_ORDER, dtype=np.int32)
+    dc_codes, dc_lens, ac_codes, ac_lens = ht.packed_luts()
+    dc_codes = np.ascontiguousarray(dc_codes, np.uint32)
+    dc_lens = np.ascontiguousarray(dc_lens, np.int32)
+    ac_codes = np.ascontiguousarray(ac_codes, np.uint32)
+    ac_lens = np.ascontiguousarray(ac_lens, np.int32)
+    cap = img.size * 3 + (1 << 16)
+    out = np.empty(cap, np.uint8)
+    n = lib.cpu_encode_scan(
+        img.ctypes.data, h, w, _CPU_MODES[subsampling],
+        qtab.ctypes.data, zig.ctypes.data, dc_codes.ctypes.data,
+        dc_lens.ctypes.data, ac_codes.ctypes.data, ac_lens.ctypes.data,
+        int(restart), out.ctypes.data, cap)
+    if n < 0:
+        return None
+    return out[:n].tobytes()
 
 
 def stuff_assemble_contig(stream: np.ndarray, nbytes: np.ndarray,

@@ -1,0 +1,243 @@
+// Native CPU reference encoder — the analog of the reference's sequential
+// C++ pipeline (JpegEncoderHost, src/OpenCLProject_JpegEncoder.cpp:28-250):
+// CSC, subsampling, mirror padding, 8x8 DCT, quantization, zigzag, RLE,
+// Huffman and bitstream packing, all scalar C++. It serves as
+//   * the framework's CPU oracle/birthplace-parity tier (the reference used
+//     its CPU path as the de-facto oracle for the GPU path, SURVEY §4.5);
+//   * the denominator of the CPU-vs-TPU per-stage speedup table
+//     (jpegtpu.bench.stages), mirroring the reference's printout.
+//
+// All constant tables (quant, Huffman codes, zigzag) are PASSED IN from
+// Python so the two tiers can never disagree on parameters. Output is the
+// complete stuffed entropy scan including RST markers; Python wraps the
+// JFIF headers.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct BitWriter {
+    std::vector<uint8_t>& out;
+    uint32_t acc = 0;
+    int nbits = 0;
+
+    explicit BitWriter(std::vector<uint8_t>& o) : out(o) {}
+
+    void put(uint32_t code, int len) {
+        // MSB-first append; stuff 0x00 after emitted 0xFF (T.81 F.1.2.3).
+        acc = (acc << len) | (code & ((len == 32 ? 0xFFFFFFFFu
+                                                 : (1u << len) - 1)));
+        nbits += len;
+        while (nbits >= 8) {
+            uint8_t b = (uint8_t)(acc >> (nbits - 8));
+            out.push_back(b);
+            if (b == 0xFF) out.push_back(0x00);
+            nbits -= 8;
+        }
+    }
+
+    void pad_to_byte() {
+        if (nbits > 0) put((1u << (8 - nbits)) - 1, 8 - nbits);
+    }
+};
+
+inline int size_category(int v) {
+    int a = v < 0 ? -v : v, s = 0;
+    while (a) { ++s; a >>= 1; }
+    return s;
+}
+
+// Forward 8x8 DCT-II (orthonormal), quantize, zigzag: the textbook
+// formulation the reference loops through (src/utils.cpp:314-348), minus
+// its in-place aliasing bug.
+void dct_quant_zigzag(const double* block, const uint16_t* qtab_zz,
+                      const int32_t* zigzag, int32_t* out_zz) {
+    static double ctab[8][8];
+    static bool init = false;
+    if (!init) {
+        for (int u = 0; u < 8; ++u)
+            for (int x = 0; x < 8; ++x)
+                ctab[u][x] = 0.5 * (u == 0 ? 1.0 / std::sqrt(2.0) : 1.0) *
+                             std::cos((2 * x + 1) * u * M_PI / 16.0);
+        init = true;
+    }
+    double tmp[8][8];
+    for (int u = 0; u < 8; ++u)
+        for (int x = 0; x < 8; ++x) {
+            double s = 0;
+            for (int y = 0; y < 8; ++y) s += ctab[u][y] * block[y * 8 + x];
+            tmp[u][x] = s;
+        }
+    double coef[64];
+    for (int u = 0; u < 8; ++u)
+        for (int v = 0; v < 8; ++v) {
+            double s = 0;
+            for (int x = 0; x < 8; ++x) s += tmp[u][x] * ctab[v][x];
+            coef[u * 8 + v] = s;
+        }
+    for (int z = 0; z < 64; ++z) {
+        double q = coef[zigzag[z]] / (double)qtab_zz[z];
+        out_zz[z] = (int32_t)(q < 0 ? -std::floor(-q + 0.5)
+                                    : std::floor(q + 0.5));
+    }
+}
+
+struct HuffTables {
+    const uint32_t* dc_codes;  // [2][16]
+    const int32_t* dc_lens;
+    const uint32_t* ac_codes;  // [2][256]
+    const int32_t* ac_lens;
+};
+
+void encode_block(BitWriter& bw, const int32_t* zz, int cls, int& pred,
+                  const HuffTables& h) {
+    int diff = zz[0] - pred;
+    pred = zz[0];
+    int s = size_category(diff);
+    bw.put(h.dc_codes[cls * 16 + s], h.dc_lens[cls * 16 + s]);
+    if (s) {
+        int m = diff < 0 ? diff + (1 << s) - 1 : diff;
+        bw.put((uint32_t)m & ((1u << s) - 1), s);
+    }
+    int last = 0;
+    for (int k = 63; k >= 1; --k)
+        if (zz[k] != 0) { last = k; break; }
+    int run = 0;
+    for (int k = 1; k <= last; ++k) {
+        if (zz[k] == 0) { ++run; continue; }
+        while (run > 15) {
+            bw.put(h.ac_codes[cls * 256 + 0xF0], h.ac_lens[cls * 256 + 0xF0]);
+            run -= 16;
+        }
+        int sz = size_category(zz[k]);
+        int sym = (run << 4) | sz;
+        bw.put(h.ac_codes[cls * 256 + sym], h.ac_lens[cls * 256 + sym]);
+        int m = zz[k] < 0 ? zz[k] + (1 << sz) - 1 : zz[k];
+        bw.put((uint32_t)m & ((1u << sz) - 1), sz);
+        run = 0;
+    }
+    if (last < 63)
+        bw.put(h.ac_codes[cls * 256 + 0x00], h.ac_lens[cls * 256 + 0x00]);
+}
+
+// Mirror-padded plane fetch (symmetric reflection, matching
+// jpegtpu.core.ops.pad_to_multiple / addReversedPadding semantics).
+inline int reflect(int i, int n) {
+    if (i < n) return i;
+    int r = 2 * n - 1 - i;
+    return r < 0 ? 0 : r;
+}
+
+}  // namespace
+
+extern "C" {
+
+// rgb: [h, w, 3] u8 interleaved (or [h, w] if mode==3/gray).
+// mode: 0 = 4:4:4, 1 = 4:2:2, 2 = 4:2:0, 3 = gray.
+// qtab_zz: [2][64] zigzag-order quant tables (luma, chroma).
+// zigzag: [64] zigzag->row-major index map.
+// restart: interval in MCUs (0 = none).
+// out: caller buffer; returns scan byte count or -1 on overflow.
+long long cpu_encode_scan(const uint8_t* rgb, int h, int w, int mode,
+                          const uint16_t* qtab_zz, const int32_t* zigzag,
+                          const uint32_t* dc_codes, const int32_t* dc_lens,
+                          const uint32_t* ac_codes, const int32_t* ac_lens,
+                          int restart, uint8_t* out, long long out_cap) {
+    const int mh = (mode == 2) ? 16 : 8;
+    const int mw = (mode == 0 || mode == 3) ? 8 : 16;
+    const int my = (h + mh - 1) / mh, mx = (w + mw - 1) / mw;
+    HuffTables ht{dc_codes, dc_lens, ac_codes, ac_lens};
+
+    std::vector<uint8_t> scan;
+    scan.reserve((size_t)my * mx * 64);
+    BitWriter bw(scan);
+
+    int pred[3] = {0, 0, 0};
+    int seg = 0, mcu_in_seg = 0;
+
+    // Per-MCU working buffers.
+    double ycc[3][16 * 16];
+    double cplane[2][8 * 8];
+    double blk[64];
+    int32_t zz[64];
+
+    for (int myi = 0; myi < my; ++myi) {
+        for (int mxi = 0; mxi < mx; ++mxi) {
+            // Gather + CSC for this MCU (mirror padding at edges).
+            for (int y = 0; y < mh; ++y) {
+                int sy = reflect(myi * mh + y, h);
+                for (int x = 0; x < mw; ++x) {
+                    int sx = reflect(mxi * mw + x, w);
+                    int i = y * mw + x;
+                    if (mode == 3) {
+                        ycc[0][i] = (double)rgb[sy * w + sx];
+                    } else {
+                        const uint8_t* p = rgb + ((size_t)sy * w + sx) * 3;
+                        double r = p[0], g = p[1], b = p[2];
+                        ycc[0][i] = 0.299 * r + 0.587 * g + 0.114 * b;
+                        ycc[1][i] = 128.0 - 0.168736 * r - 0.331264 * g +
+                                    0.5 * b;
+                        ycc[2][i] = 128.0 + 0.5 * r - 0.418688 * g -
+                                    0.081312 * b;
+                    }
+                }
+            }
+            // Luma blocks in raster order within the MCU.
+            const int lby = mh / 8, lbx = mw / 8;
+            for (int by = 0; by < lby; ++by)
+                for (int bx = 0; bx < lbx; ++bx) {
+                    for (int y = 0; y < 8; ++y)
+                        for (int x = 0; x < 8; ++x)
+                            blk[y * 8 + x] =
+                                ycc[0][(by * 8 + y) * mw + bx * 8 + x] -
+                                128.0;
+                    dct_quant_zigzag(blk, qtab_zz, zigzag, zz);
+                    encode_block(bw, zz, 0, pred[0], ht);
+                }
+            if (mode != 3) {
+                // Chroma: subsample into one 8x8 block per component.
+                for (int c = 0; c < 2; ++c) {
+                    for (int y = 0; y < 8; ++y)
+                        for (int x = 0; x < 8; ++x) {
+                            double v;
+                            if (mode == 2) {        // 420: 2x2 mean
+                                v = (ycc[c + 1][(2 * y) * mw + 2 * x] +
+                                     ycc[c + 1][(2 * y) * mw + 2 * x + 1] +
+                                     ycc[c + 1][(2 * y + 1) * mw + 2 * x] +
+                                     ycc[c + 1][(2 * y + 1) * mw + 2 * x + 1]
+                                     ) * 0.25;
+                            } else if (mode == 1) { // 422: 2x1 mean
+                                v = (ycc[c + 1][y * mw + 2 * x] +
+                                     ycc[c + 1][y * mw + 2 * x + 1]) * 0.5;
+                            } else {                // 444
+                                v = ycc[c + 1][y * mw + x];
+                            }
+                            cplane[c][y * 8 + x] = v - 128.0;
+                        }
+                    dct_quant_zigzag(cplane[c], qtab_zz + 64, zigzag, zz);
+                    encode_block(bw, zz, 1, pred[c + 1], ht);
+                }
+            }
+            // Restart marker handling.
+            if (restart > 0 && ++mcu_in_seg == restart &&
+                !(myi == my - 1 && mxi == mx - 1)) {
+                bw.pad_to_byte();
+                scan.push_back(0xFF);
+                scan.push_back((uint8_t)(0xD0 + (seg & 7)));
+                ++seg;
+                mcu_in_seg = 0;
+                pred[0] = pred[1] = pred[2] = 0;
+            }
+        }
+    }
+    bw.pad_to_byte();
+
+    if ((long long)scan.size() > out_cap) return -1;
+    std::memcpy(out, scan.data(), scan.size());
+    return (long long)scan.size();
+}
+
+}  // extern "C"

@@ -26,11 +26,14 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
+from jpegtpu import native
 from jpegtpu.config import EncoderConfig
 from jpegtpu.container import jfif
 from jpegtpu.core import ops
 from jpegtpu.dist import mesh as mesh_lib
-from jpegtpu.encoder import _device_encode_xla
+from jpegtpu.encoder import _device_encode_xla, _n_luma, _pixel_path
+from jpegtpu.entropy import assemble, scan
+from jpegtpu.entropy.assemble import MAX_BITS_PER_BLOCK
 
 
 def _shard_fn(imgs, *, quality, subsampling, restart, n_seg_local,
@@ -54,6 +57,78 @@ def _shard_fn(imgs, *, quality, subsampling, restart, n_seg_local,
     offsets = below[:, None] + jnp.cumsum(nbytes, axis=1) - nbytes
     grand_total = jax.lax.psum(local_total, mesh_lib.ROW_AXIS)
     return stuffed, nbytes, offsets, grand_total
+
+
+def _shard_fn_norestart(imgs, *, quality, subsampling, use_fused, n_row,
+                        bits_budget):
+    """No-restart sharded body: the whole image is ONE entropy segment, so
+    the DC predictor chains ACROSS row shards — each shard receives its
+    predecessor's final DC values (Y, Cb, Cr) over ICI via ppermute (the
+    BASELINE 'DC-predictor boundary exchange'), then emits a raw unaligned
+    bitstream; the host merges shard streams at bit level (C++)."""
+    n_luma = _n_luma(subsampling)
+
+    coeffs = jax.vmap(
+        lambda im: _pixel_path(im, quality, subsampling, use_fused))(imgs)
+    b_loc, n_mcu, b, _ = coeffs.shape
+    last_dc = jnp.stack(
+        [coeffs[:, -1, n_luma - 1, 0],
+         coeffs[:, -1, min(n_luma, b - 1), 0],
+         coeffs[:, -1, min(n_luma + 1, b - 1), 0]], axis=1)  # [b_loc, 3]
+    perm = [(i, i + 1) for i in range(n_row - 1)]
+    prev_dc = jax.lax.ppermute(last_dc, mesh_lib.ROW_AXIS, perm)
+
+    def entropy(coeffs_i, init_i):
+        lens, bits = scan.symbolize_scan(coeffs_i, n_luma, 0,
+                                         init_dc=init_i)
+        words, seg_bits = assemble.pack_words(
+            lens.reshape(-1, 64), bits.reshape(-1, 64), 1, n_mcu * b,
+            bits_budget)
+        return words[0], seg_bits.reshape(1)
+
+    words, bits = jax.vmap(entropy)(coeffs, prev_dc)
+    return words, bits
+
+
+@functools.lru_cache(maxsize=16)
+def _build_sharded_norestart(mesh_key, shape: Tuple[int, int, int],
+                             cfg: EncoderConfig):
+    mesh = _MESHES[mesh_key]
+    b, h, w = shape
+    n_row = mesh.shape[mesh_lib.ROW_AXIS]
+    mh = cfg.mcu_shape[0]
+    if h % (n_row * mh):
+        raise ValueError(
+            "no-restart sharded encode cannot pad rows (padding blocks "
+            "would join the single segment); H must divide into whole-MCU "
+            f"row shards (H={h}, shards={n_row}, MCU height={mh})")
+    fn = functools.partial(
+        _shard_fn_norestart, quality=cfg.quality,
+        subsampling=cfg.subsampling, use_fused=cfg.use_pallas, n_row=n_row,
+        bits_budget=MAX_BITS_PER_BLOCK)
+    sharded = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS, None, None),
+        out_specs=(P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
+                   P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS)),
+        check_vma=False)
+    return jax.jit(sharded)
+
+
+def _encode_batch_sharded_norestart(imgs, cfg, mesh):
+    b, h, w = imgs.shape[:3]
+    n_row = mesh.shape[mesh_lib.ROW_AXIS]
+    fn = _build_sharded_norestart(_mesh_key(mesh), (b, h, w), cfg)
+    words, bits = fn(jnp.asarray(imgs))
+    words = np.asarray(words).reshape(b, n_row, -1)
+    bits = np.asarray(bits).reshape(b, n_row).astype(np.int64)
+    out = []
+    for i in range(b):
+        streams = words[i].byteswap().view(np.uint8).reshape(n_row, -1)
+        scan_bytes = native.merge_bitstreams(streams, bits[i])
+        out.append(jfif.wrap_jpeg(h, w, cfg.quality, cfg.subsampling, 0,
+                                  scan_bytes))
+    return out
 
 
 @functools.lru_cache(maxsize=16)
@@ -109,6 +184,9 @@ def encode_batch_sharded(imgs: np.ndarray, cfg: EncoderConfig, mesh):
     b, h, w = imgs.shape[:3]
     n_row = mesh.shape[mesh_lib.ROW_AXIS]
     mh, mw = cfg.mcu_shape
+    _, mx = ops.mcu_grid(h, w, cfg.subsampling)
+    if cfg.resolve_restart(mx) == 0:
+        return _encode_batch_sharded_norestart(imgs, cfg, mesh)
     mult_h, mult_w = n_row * mh, mw
     ph, pw = (-h) % mult_h, (-w) % mult_w
     if ph or pw:
@@ -158,3 +236,9 @@ def dryrun(n_devices: int) -> None:
     jpegs = encode_batch_sharded(imgs, cfg, m)
     assert len(jpegs) == b
     assert all(j[:2] == b"\xff\xd8" and j[-2:] == b"\xff\xd9" for j in jpegs)
+    # Also exercise the no-restart mode (DC-predictor ppermute exchange +
+    # host bit-level merge).
+    cfg0 = EncoderConfig(quality=75, subsampling="420", restart_interval=0)
+    jpegs0 = encode_batch_sharded(imgs, cfg0, m)
+    assert all(j[:2] == b"\xff\xd8" and j[-2:] == b"\xff\xd9"
+               for j in jpegs0)

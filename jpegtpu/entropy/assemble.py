@@ -52,21 +52,18 @@ def seg_words(blocks_per_seg: int, bits_budget: int = MAX_BITS_PER_BLOCK) -> int
     return -(-blocks_per_seg * bits_budget // 32)
 
 
-def pack_segments(lens: jax.Array, bits: jax.Array, n_seg: int,
-                  blocks_per_seg: int,
-                  bits_budget: int = MAX_BITS_PER_BLOCK
-                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Pack symbol slots into per-segment stuffed byte arrays.
+def pack_words(lens: jax.Array, bits: jax.Array, n_seg: int,
+               blocks_per_seg: int,
+               bits_budget: int = MAX_BITS_PER_BLOCK
+               ) -> Tuple[jax.Array, jax.Array]:
+    """Pack symbol slots into per-segment big-endian u32 word arrays —
+    raw (unpadded, unstuffed) bitstreams.
 
-    lens/bits: [n_blocks_total, 64] from jpegtpu.entropy.scan, in scan order;
-    n_blocks_total is padded up to n_seg*blocks_per_seg by the caller (padding
-    blocks must have all-zero lens).
-
-    Returns (stuffed [n_seg, cap_bytes*2] uint8, stuffed_nbytes [n_seg] int32,
-    seg_bits [n_seg] int32).
+    Returns (words [n_seg, w_cap] uint32, seg_bits [n_seg] int32). Used
+    directly by the no-restart sharded mode (host merges shard streams at
+    bit level) and as the first half of pack_segments.
     """
     w_cap = seg_words(blocks_per_seg, bits_budget)
-    b_cap = w_cap * 4
     l = lens.reshape(n_seg, blocks_per_seg * 64)
     v = bits.reshape(n_seg, blocks_per_seg * 64)
 
@@ -92,7 +89,26 @@ def pack_segments(lens: jax.Array, bits: jax.Array, n_seg: int,
     words = jnp.zeros((n_seg * w_cap,), jnp.uint32)
     words = words.at[gidx_hi].add(hi.reshape(-1), mode="drop")
     words = words.at[gidx_lo].add(lo.reshape(-1), mode="drop")
-    words = words.reshape(n_seg, w_cap)
+    return words.reshape(n_seg, w_cap), seg_bits
+
+
+def pack_segments(lens: jax.Array, bits: jax.Array, n_seg: int,
+                  blocks_per_seg: int,
+                  bits_budget: int = MAX_BITS_PER_BLOCK
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pack symbol slots into per-segment stuffed byte arrays.
+
+    lens/bits: [n_blocks_total, 64] from jpegtpu.entropy.scan, in scan order;
+    n_blocks_total is padded up to n_seg*blocks_per_seg by the caller (padding
+    blocks must have all-zero lens).
+
+    Returns (stuffed [n_seg, cap_bytes*2] uint8, stuffed_nbytes [n_seg] int32,
+    seg_bits [n_seg] int32).
+    """
+    w_cap = seg_words(blocks_per_seg, bits_budget)
+    b_cap = w_cap * 4
+    words, seg_bits = pack_words(lens, bits, n_seg, blocks_per_seg,
+                                 bits_budget)
 
     # 3) explode to big-endian bytes and 1-pad the final partial byte.
     by = jnp.stack([(words >> 24) & 0xFF, (words >> 16) & 0xFF,

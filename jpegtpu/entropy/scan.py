@@ -50,7 +50,8 @@ def _magnitude_bits(v: jax.Array, size: jax.Array) -> jax.Array:
     return jnp.where(v < 0, neg, v).astype(jnp.uint32)
 
 
-def dc_diffs(coeffs: jax.Array, n_luma: int, restart: int) -> jax.Array:
+def dc_diffs(coeffs: jax.Array, n_luma: int, restart: int,
+             init_dc=None) -> jax.Array:
     """DC differentials with restart-interval predictor resets.
 
     coeffs: [nM, B, 64] scan-order quantized blocks. Returns [nM, B] int32.
@@ -60,11 +61,16 @@ def dc_diffs(coeffs: jax.Array, n_luma: int, restart: int) -> jax.Array:
     a shifted subtraction it vectorizes completely; restart boundaries just
     mask the shifted operand to zero. restart=0 means one segment (the
     reference's only mode).
+
+    init_dc: optional [3] (Y, Cb, Cr) predictor values for the very first
+    block of each component — used by the no-restart sharded mode, where a
+    row shard receives its predecessor's last DC over ICI (ppermute).
     """
     n_mcu, b, _ = coeffs.shape
     out = []
-    for comp_slots, per in (((0, n_luma), n_luma), ((n_luma, n_luma + 1), 1),
-                            ((n_luma + 1, b), 1)):
+    for comp, (comp_slots, per) in enumerate(
+            (((0, n_luma), n_luma), ((n_luma, n_luma + 1), 1),
+             ((n_luma + 1, b), 1))):
         lo, hi = comp_slots
         lo, hi = min(lo, b), min(hi, b)
         if hi <= lo:
@@ -72,7 +78,10 @@ def dc_diffs(coeffs: jax.Array, n_luma: int, restart: int) -> jax.Array:
         d = coeffs[:, lo:hi, 0].reshape(-1)
         mod = (restart if restart > 0 else n_mcu) * per
         idx = jnp.arange(d.shape[0], dtype=jnp.int32)
-        prev = jnp.where(idx % mod == 0, 0, jnp.roll(d, 1))
+        init = (jnp.asarray(init_dc)[comp] if init_dc is not None
+                else jnp.int32(0))
+        reset_val = jnp.where(idx == 0, init, 0)
+        prev = jnp.where(idx % mod == 0, reset_val, jnp.roll(d, 1))
         out.append((d - prev).reshape(n_mcu, hi - lo))
     return jnp.concatenate(out, axis=1).astype(jnp.int32)
 
@@ -142,8 +151,8 @@ def block_symbols(coeffs: jax.Array, cls: jax.Array,
     return lens.astype(jnp.int32), bits.astype(jnp.uint32)
 
 
-def symbolize_scan(coeffs: jax.Array, n_luma: int,
-                   restart: int) -> Tuple[jax.Array, jax.Array]:
+def symbolize_scan(coeffs: jax.Array, n_luma: int, restart: int,
+                   init_dc=None) -> Tuple[jax.Array, jax.Array]:
     """[nM, B, 64] scan-order coefficients -> (lens, bits) both [nM, B, 64].
 
     B = blocks per MCU (3 for 4:4:4 — Y,Cb,Cr; 6 for 4:2:0 — 4Y,Cb,Cr).
@@ -153,6 +162,6 @@ def symbolize_scan(coeffs: jax.Array, n_luma: int,
     n_mcu, b, _ = coeffs.shape
     cls_pattern = np.array([0] * n_luma + [1] * (b - n_luma), dtype=np.int32)
     cls = jnp.asarray(np.tile(cls_pattern, n_mcu))
-    dcd = dc_diffs(coeffs, n_luma, restart).reshape(-1)
+    dcd = dc_diffs(coeffs, n_luma, restart, init_dc=init_dc).reshape(-1)
     lens, bits = block_symbols(coeffs.reshape(-1, 64), cls, dcd)
     return lens.reshape(n_mcu, b, 64), bits.reshape(n_mcu, b, 64)

@@ -41,6 +41,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.stuff_assemble_contig.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_longlong]
+        lib.merge_bitstreams_stuff.restype = ctypes.c_longlong
+        lib.merge_bitstreams_stuff.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_longlong, ctypes.c_void_p, ctypes.c_longlong]
         lib.cpu_encode_scan.restype = ctypes.c_longlong
         lib.cpu_encode_scan.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -90,6 +94,36 @@ def stuff_assemble(segs: np.ndarray, nbytes: np.ndarray,
         if restart > 0 and s != n_seg - 1:
             parts.append(bytes((0xFF, 0xD0 + (s % 8))))
     return b"".join(parts)
+
+
+def merge_bitstreams(streams: np.ndarray, bitlens: np.ndarray) -> bytes:
+    """Merge raw per-shard bitstreams ([n, cap] big-endian bytes + bit
+    lengths) into one 1-padded, stuffed scan. C++ fast path with a Python
+    bit-string fallback."""
+    streams = np.ascontiguousarray(streams, dtype=np.uint8)
+    bitlens = np.ascontiguousarray(bitlens, dtype=np.int64)
+    n, cap = streams.shape
+    lib = _load()
+    if lib is not None:
+        total = int(bitlens.sum())
+        out = np.empty(total // 4 + 64, np.uint8)  # 2x bytes + slack
+        got = lib.merge_bitstreams_stuff(
+            streams.ctypes.data, bitlens.ctypes.data, n, cap,
+            out.ctypes.data, out.size)
+        if got >= 0:
+            return out[:got].tobytes()
+    # Python fallback (slow, exact)
+    bits = "".join(
+        "".join(f"{b:08b}" for b in streams[i])[:int(bitlens[i])]
+        for i in range(n))
+    bits += "1" * ((-len(bits)) % 8)
+    raw = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    out = bytearray()
+    for x in raw:
+        out.append(x)
+        if x == 0xFF:
+            out.append(0)
+    return bytes(out)
 
 
 _CPU_MODES = {"444": 0, "422": 1, "420": 2, "gray": 3}

@@ -68,6 +68,53 @@ long long stuff_assemble_contig(const uint8_t* stream, const int32_t* nbytes,
     return o;
 }
 
+// Merge N raw (unpadded) bitstreams at bit granularity, 1-pad the final
+// byte, and emit with 0xFF00 stuffing — the host half of the no-restart
+// sharded mode (shards produce bit-exact partial streams; DC predictors
+// were exchanged on device over ICI).
+// streams: [n, cap] row-major big-endian byte streams; bitlens: [n].
+// Returns stuffed byte count, or -1 on overflow.
+long long merge_bitstreams_stuff(const uint8_t* streams,
+                                 const long long* bitlens, int n,
+                                 long long cap, uint8_t* out,
+                                 long long out_cap) {
+    long long total_bits = 0;
+    for (int i = 0; i < n; ++i) total_bits += bitlens[i];
+    const long long nbytes = (total_bits + 7) / 8;
+    uint8_t* merged = new uint8_t[nbytes + 2]();
+    long long off = 0;  // bit cursor
+    for (int i = 0; i < n; ++i) {
+        const uint8_t* src = streams + (long long)i * cap;
+        const long long nb = bitlens[i];
+        const int shift = (int)(off & 7);
+        long long ob = off >> 3;
+        if (shift == 0) {
+            std::memcpy(merged + ob, src, (size_t)((nb + 7) / 8));
+        } else {
+            const long long srcbytes = (nb + 7) / 8;
+            for (long long j = 0; j < srcbytes; ++j) {
+                merged[ob + j] |= (uint8_t)(src[j] >> shift);
+                merged[ob + j + 1] |= (uint8_t)(src[j] << (8 - shift));
+            }
+        }
+        off += nb;
+        // bits past nb in the source are zero by construction (pack_words
+        // zero-fills), so no cleanup is needed after the OR-copy
+    }
+    // 1-pad the final partial byte (T.81 F.1.2.3).
+    if (total_bits & 7)
+        merged[total_bits >> 3] |=
+            (uint8_t)((1u << (8 - (total_bits & 7))) - 1);
+    long long o = 0;
+    for (long long j = 0; j < nbytes; ++j) {
+        if (o + 2 > out_cap) { delete[] merged; return -1; }
+        out[o++] = merged[j];
+        if (merged[j] == 0xFF) out[o++] = 0x00;
+    }
+    delete[] merged;
+    return o;
+}
+
 // Parse a P6/P5 PNM header. Returns 0 on success; fills width/height/
 // channels and the pixel-data offset. maxval must be 255 (matching the
 // reference reader, src/utils.cpp:38).

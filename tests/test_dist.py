@@ -51,6 +51,26 @@ def test_sharded_encode_pads_rows(mesh24):
     assert sharded == singles
 
 
+def test_norestart_sharded_dc_exchange(mesh24):
+    """restart=0: the DC chain crosses shard boundaries via a ppermute
+    exchange over the row axis; host merges shard bitstreams at bit level.
+    Output must be byte-identical to the single-device no-restart encode."""
+    rng = np.random.default_rng(3)
+    cfg = EncoderConfig(quality=75, subsampling="420", restart_interval=0)
+    imgs = rng.integers(0, 256, (2, 64, 32, 3), dtype=np.uint8)
+    sharded = shard.encode_batch_sharded(imgs, cfg, mesh24)
+    enc = Encoder(cfg)
+    singles = [enc.encode(im) for im in imgs]
+    assert sharded == singles
+
+
+def test_norestart_sharded_rejects_row_padding(mesh24):
+    cfg = EncoderConfig(quality=75, subsampling="420", restart_interval=0)
+    imgs = np.zeros((2, 40, 32, 3), np.uint8)   # 40 not divisible by 4*16
+    with pytest.raises(ValueError, match="no-restart"):
+        shard.encode_batch_sharded(imgs, cfg, mesh24)
+
+
 def test_sharded_requires_row_aligned_restart(mesh24):
     cfg = EncoderConfig(quality=75, subsampling="420", restart_interval=7)
     imgs = np.zeros((2, 64, 48, 3), np.uint8)

@@ -334,8 +334,10 @@ def _mcu_merge_kernel(words_ref, lens_ref, mwords_ref, mlens_ref,
         q = off >> 5                                     # [T, 1]
         rolled1 = pltpu.roll(w_pad, 1, axis=1)
         sh = jnp.right_shift(w_pad, r)
-        sh = sh | jnp.where(r > 0,
-                            jnp.left_shift(rolled1, (32 - r) & 31), 0)
+        # branch-free funnel carry: (x<<1)<<((31-r)&31) == x<<(32-r)
+        # for r>=1 and 0 for r==0 (where(r>0,...) lowers ~10x slower)
+        sh = sh | jnp.left_shift(jnp.left_shift(rolled1, 1),
+                                 (31 - r) & 31)
         for c in range(chunks):
             idx = lane + (128 * c) - q                   # [T, 128]
             valid = (idx >= 0) & (idx < 128)
@@ -434,8 +436,10 @@ def _seg_merge_window_kernel(mwords_ref, mlens_ref, out_ref, bits_ref,
                 prev_last if c > 0 else jnp.zeros((1, 1), jnp.uint32),
                 rolled1)
             sh = jnp.right_shift(ch, r)
-            sh = sh | jnp.where(r > 0,
-                                jnp.left_shift(carry_in, (32 - r) & 31), 0)
+            # branch-free funnel carry: (x<<1)<<((31-r)&31) == x<<(32-r)
+            # for r>=1 and 0 for r==0 (where(r>0,...) lowers ~10x slower)
+            sh = sh | jnp.left_shift(jnp.left_shift(carry_in, 1),
+                                     (31 - r) & 31)
             shifted.append(sh)
             prev_last = ch[:, 127:128]
         win = place(win, local_bits, shifted)
@@ -587,8 +591,10 @@ def _compact_kernel(bits_ref, frames_ref, out_ref, chunk_ref, flush_ref,
             # lane 0 (sublane-only broadcast; 2D broadcasts are unsupported)
             prev_w = jnp.where((lane == 0) & (su8 == 0), carry, prev_w)
             sh = jnp.right_shift(ch, r)
-            sh = sh | jnp.where(r > 0,
-                                jnp.left_shift(prev_w, (32 - r) & 31), 0)
+            # branch-free funnel carry: (x<<1)<<((31-r)&31) == x<<(32-r)
+            # for r>=1 and 0 for r==0 (where(r>0,...) lowers ~10x slower)
+            sh = sh | jnp.left_shift(jnp.left_shift(prev_w, 1),
+                                     (31 - r) & 31)
             win = place16(win, local_bits, sh)
             carry = pltpu.roll(ch[7:8, :], 1, axis=1)
             adv = jnp.minimum(frame_bits, nbits - i * frame_bits)
@@ -679,8 +685,10 @@ def _seg_merge_kernel(words_ref, lens_ref, out_ref, bits_ref, acc_ref,
         q = carry_bits >> 5
         rolled1 = pltpu.roll(w_pad, 1, axis=1)
         sh = jnp.right_shift(w_pad, r)
-        sh = sh | jnp.where(r > 0,
-                            jnp.left_shift(rolled1, (32 - r) & 31), 0)
+        # branch-free funnel carry: (x<<1)<<((31-r)&31) == x<<(32-r)
+        # for r>=1 and 0 for r==0 (where(r>0,...) lowers ~10x slower)
+        sh = sh | jnp.left_shift(jnp.left_shift(rolled1, 1),
+                                 (31 - r) & 31)
         row = q >> 7
         m = q & 127
         rot = pltpu.roll(sh, m, axis=1)                 # dynamic lane rotate

@@ -194,15 +194,17 @@ def _block_pack_kernel(coeffs_ref, cls_ref, dcdiff_ref, ac_tbl_ref,
     n1 = jnp.minimum(lens, 32 - b_in_w)
     rem = lens - n1
     rem_u = rem.astype(jnp.uint32)
-    b32 = (32 - b_in_w - n1).astype(jnp.uint32)
-    hi = jnp.where(lens > 0,
-                   jnp.left_shift(jnp.right_shift(bits, rem_u), b32), 0)
-    rem_mask = jnp.where(rem > 0,
-                         jnp.left_shift(jnp.uint32(1), rem_u) - 1, 0)
-    lo = jnp.where(rem > 0,
-                   jnp.left_shift(bits & rem_mask,
-                                  (32 - rem).astype(jnp.uint32)),
-                   0)
+    # Branch-free forms (where(...) guards lower pathologically, see the
+    # funnel carries): slots with lens==0 have bits==0 so every masked
+    # operand is already zero; shift amounts are kept < 32 by the
+    # (x<<1)<<((31-k)&31) identity.
+    # shift amounts hit 32 only when the operand is already zero, so
+    # masking them to [0,31] is exact
+    hi = jnp.left_shift(jnp.right_shift(bits, rem_u),
+                        (32 - b_in_w - n1).astype(jnp.uint32) & 31)
+    rem_mask = jnp.left_shift(jnp.uint32(1), rem_u) - 1
+    lo = jnp.left_shift(bits & rem_mask,
+                        (32 - rem).astype(jnp.uint32) & 31)
 
     # Place (value, word) pairs: hi at w_idx, lo at w_idx+1. All bit ranges
     # are disjoint, so per-word accumulation is exact on 16-bit halves in

@@ -211,23 +211,22 @@ def _block_pack_kernel(coeffs_ref, cls_ref, dcdiff_ref, ac_tbl_ref,
     # f32. Word targets are NON-DECREASING along each half's slot axis, so
     # each output word is a difference of prefix sums at a rank found by
     # branchless binary search — a scatter expressed entirely as gathers.
-    words = _place_monotone(hi, w_idx, k, half) + \
-        _place_monotone(lo, w_idx + 1, k, half)
+    words = _place_pair(hi, lo, w_idx, k, half)
 
     words_ref[...] = words
     lens_ref[...] = total
 
 
-def _place_monotone(v, wt, k, half):
-    """Per-half scatter-by-monotone-key on two-block rows: v [T2,128] u32,
-    wt [T2,128] per-half-sorted word targets -> [T2,128] u32 (lane h*64+w =
-    sum of half-h values with wt == w)."""
-    t = v.shape[0]
+def _place_pair(v_hi, v_lo, wt, k, half):
+    """Per-half scatter-by-monotone-key on two-block rows: v_hi placed at
+    word targets wt, v_lo at wt+1 (both [T2,128] u32, wt per-half sorted) ->
+    [T2,128] u32 word sums.
+
+    One branchless binary search serves both: count for targets wt+1 at
+    word w equals the count for wt at word w-1, i.e. the hi ranks shifted
+    one lane."""
+    t = v_hi.shape[0]
     base = half * 64                                    # gather offset
-    vh = pltpu.bitcast(jnp.right_shift(v, 16), jnp.int32).astype(jnp.float32)
-    vl = pltpu.bitcast(v & 0xFFFF, jnp.int32).astype(jnp.float32)
-    psh = _cumlog64(vh, jnp.add, 0.0, k)
-    psl = _cumlog64(vl, jnp.add, 0.0, k)
 
     # count[., w] = #slots with wt <= w, via branchless binary search.
     # Steps start at 64 so the count can reach all 64 slots; probes clamp.
@@ -237,17 +236,28 @@ def _place_monotone(v, wt, k, half):
         probe = jnp.take_along_axis(
             wt, jnp.minimum(cand, 64) - 1 + base, axis=1)
         pos = jnp.where((cand <= 64) & (probe <= k), cand, pos)
+    pos_lo = jnp.where(k == 0, 0, pltpu.roll(pos, 1, axis=1))
 
-    def ps_at(ps):
-        g = jnp.take_along_axis(pltpu.bitcast(ps, jnp.int32),
-                                jnp.maximum(pos - 1, 0) + base, axis=1)
-        g = pltpu.bitcast(g, jnp.float32)
-        g = jnp.where(pos > 0, g, 0.0)
-        prev = pltpu.roll(g, 1, axis=1)
-        cum = g - jnp.where(k == 0, 0.0, prev)
-        return pltpu.bitcast(cum.astype(jnp.int32), jnp.uint32)
+    def place(v, pos_v):
+        vh = pltpu.bitcast(jnp.right_shift(v, 16),
+                           jnp.int32).astype(jnp.float32)
+        vl = pltpu.bitcast(v & 0xFFFF, jnp.int32).astype(jnp.float32)
 
-    return jnp.left_shift(ps_at(psh), 16) | ps_at(psl)
+        def ps_at(ps):
+            g = jnp.take_along_axis(pltpu.bitcast(ps, jnp.int32),
+                                    jnp.maximum(pos_v - 1, 0) + base,
+                                    axis=1)
+            g = pltpu.bitcast(g, jnp.float32)
+            g = jnp.where(pos_v > 0, g, 0.0)
+            prev = pltpu.roll(g, 1, axis=1)
+            cum = g - jnp.where(k == 0, 0.0, prev)
+            return pltpu.bitcast(cum.astype(jnp.int32), jnp.uint32)
+
+        psh = _cumlog64(vh, jnp.add, 0.0, k)
+        psl = _cumlog64(vl, jnp.add, 0.0, k)
+        return jnp.left_shift(ps_at(psh), 16) | ps_at(psl)
+
+    return place(v_hi, pos) + place(v_lo, pos_lo)
 
 
 def _cumlog64(x, op, identity, k):

@@ -205,6 +205,28 @@ def test_encode_batch_fused_matches_single(monkeypatch):
     assert batched == singles
 
 
+def test_pallas_path_ragged_restart(monkeypatch):
+    """Restart interval that does not divide the MCU count: the padded tail
+    segment must stay silent (zero-length blocks) on the Pallas path too."""
+    import jpegtpu.encoder as enc_mod
+    import jpegtpu.kernels.entropy_pack as epk
+    from jpegtpu.config import EncoderConfig
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (80, 16, 3), dtype=np.uint8)  # 5 MCU rows
+    cfg = EncoderConfig(quality=75, subsampling="420", restart_interval=2)
+    xla_bytes = enc_mod.Encoder(cfg).encode(img)   # 5 MCUs, segs 2+2+1
+
+    monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    enc_mod._jitted_encode.cache_clear()
+    try:
+        pallas_bytes = enc_mod.Encoder(cfg).encode(img)
+    finally:
+        enc_mod._jitted_encode.cache_clear()
+    assert pallas_bytes == xla_bytes
+
+
 def test_budget_escalation(monkeypatch):
     """A tiny bits budget must trigger the worst-case re-run, with output
     identical to the XLA path (correctness is unconditional)."""

@@ -1,52 +1,58 @@
 """Per-stage telemetry — the TPU analog of the reference's CPUTelemetry
 struct (src/utils.hpp:65-75) and CL-event profiling (lib/OpenCL/Event.cpp:26-29).
 
-On TPU, per-stage wall times come from block_until_ready() brackets around
-separately jitted stage programs (stages fuse in the production pipeline, so
-stage timing is a diagnostic mode, exactly like the reference's per-kernel
-event profiling was).
+Stage wall times come from jpegtpu.bench.stages (amortized chained timing —
+the only reliable mechanism on tunneled chips, see bench.py); this module
+holds the summary struct mirroring the reference's telemetry fields.
 """
 
 from __future__ import annotations
 
 import dataclasses
-import time
-from typing import Callable, Dict
-
-import jax
+from typing import Dict
 
 
 @dataclasses.dataclass
 class StageTimes:
-    """Stage wall-clock micro-seconds, mirroring CPUTelemetry's fields plus
-    the entropy/container stages the reference never timed because it never
-    had them (SURVEY §2.10-2.11)."""
-    csc_us: float = 0.0
-    subsample_us: float = 0.0
-    pixel_path_us: float = 0.0     # fused shift+DCT+quant+zigzag
-    symbolize_us: float = 0.0      # RLE + Huffman symbol mapping
-    pack_us: float = 0.0           # bit packing + stuffing
-    assemble_us: float = 0.0       # host container assembly
-    total_us: float = 0.0
+    """Stage wall-clock seconds, mirroring CPUTelemetry's fields plus the
+    entropy/container stages the reference never had (SURVEY §2.10-2.11).
+    Oracle-tier diagnostic stages (csc/pad/subsample) are isolated XLA
+    programs; in production they are fused into pixel_path."""
+    csc: float = 0.0
+    pad: float = 0.0
+    subsample: float = 0.0
+    pixel_path: float = 0.0       # fused CSC+subsample+shift+DCT+quant+zigzag
+    block_pack: float = 0.0       # RLE + Huffman symbol mapping + block pack
+    seg_merge: float = 0.0        # segment bitstream merge
+    compact: float = 0.0          # stream compaction
+    host_assemble: float = 0.0    # fetch + stuffing + markers (host)
+    device_total: float = 0.0     # production pipeline sum
 
-    def as_dict(self) -> Dict[str, float]:
-        return dataclasses.asdict(self)
+    _KEYMAP = {
+        "oracle:csc": "csc",
+        "oracle:pad": "pad",
+        "oracle:subsample": "subsample",
+        "pixel_path_fused": "pixel_path",
+        "block_pack": "block_pack",
+        "symbolize": "block_pack",
+        "seg_merge": "seg_merge",
+        "compact": "compact",
+        "host:fetch_and_assemble": "host_assemble",
+    }
+
+    @classmethod
+    def from_report(cls, report: Dict[str, float]) -> "StageTimes":
+        """Build from a jpegtpu.bench.stages.stage_report dict."""
+        t = cls()
+        for k, v in report.items():
+            field = cls._KEYMAP.get(k)
+            if field:
+                setattr(t, field, getattr(t, field) + v)
+        t.device_total = (t.pixel_path + t.block_pack + t.seg_merge +
+                          t.compact)
+        return t
 
     def report(self) -> str:
-        rows = [f"  {k:>16}: {v:12.1f} us" for k, v in self.as_dict().items()]
+        rows = [f"  {f.name:>14}: {getattr(self, f.name) * 1e3:10.2f} ms"
+                for f in dataclasses.fields(self)]
         return "\n".join(rows)
-
-
-def timed(fn: Callable, *args, warmup: int = 1, iters: int = 5):
-    """Median device wall time of a jitted fn (blocks until ready)."""
-    for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    return out, times[len(times) // 2]

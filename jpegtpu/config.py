@@ -36,13 +36,12 @@ class EncoderConfig:
     # fully sequential DC chain — the reference's only mode). "rows" makes
     # each MCU row one restart segment, the natural sharding unit.
     restart_interval: int | str = "rows"
-    # Arithmetic dtype of the pixel path (f32 keeps exact parity with the
-    # float oracle; bf16 halves HBM traffic at slight PSNR cost).
-    dtype: str = "float32"
-    # Use the fused Pallas kernel for the pixel path when True, else the
-    # pure-XLA path (both produce identical coefficients).
+    # Use the fused production pixel path (one matmul per MCU geometry,
+    # kernels/fused_dctq.py) when True, else the staged oracle ops
+    # (core/ops.py) — identical coefficients either way.
     use_pallas: bool = True
-    # Pack the entropy bitstream on device (True) or on host (False).
+    # Use the Pallas entropy kernels + device bitstream packing (True; TPU
+    # only) or the XLA oracle formulation (False / off-TPU).
     device_bitpack: bool = True
 
     def __post_init__(self):

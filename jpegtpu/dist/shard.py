@@ -31,9 +31,17 @@ from jpegtpu.config import EncoderConfig
 from jpegtpu.container import jfif
 from jpegtpu.core import ops
 from jpegtpu.dist import mesh as mesh_lib
-from jpegtpu.encoder import _device_encode_xla, _n_luma, _pixel_path
+from jpegtpu.encoder import (DEFAULT_BITS_BUDGET, _device_encode_pallas,
+                             _device_encode_xla, _n_luma, _pixel_path)
 from jpegtpu.entropy import assemble, scan
 from jpegtpu.entropy.assemble import MAX_BITS_PER_BLOCK
+
+
+def _pallas_entropy_ok(cfg: EncoderConfig, mcus_per_seg: int) -> bool:
+    """Same selection rule as the single-device encoder (jpegtpu.encoder)."""
+    seg_vmem = mcus_per_seg * cfg.blocks_per_mcu * 64 * 4
+    return (cfg.device_bitpack and jax.default_backend() == "tpu" and
+            seg_vmem <= 6 * 1024 * 1024)
 
 
 def _shard_fn(imgs, *, quality, subsampling, restart, n_seg_local,
@@ -57,6 +65,102 @@ def _shard_fn(imgs, *, quality, subsampling, restart, n_seg_local,
     offsets = below[:, None] + jnp.cumsum(nbytes, axis=1) - nbytes
     grand_total = jax.lax.psum(local_total, mesh_lib.ROW_AXIS)
     return stuffed, nbytes, offsets, grand_total
+
+
+def _shard_fn_pallas(imgs, *, quality, subsampling, restart, n_seg_local,
+                     mcus_per_seg, bits_budget, use_fused):
+    """Per-shard body on the Pallas entropy path: the shard's whole image
+    batch folds into the block dimension (same trick as
+    encoder._device_encode_pallas_batch — vmap would batch the ANY-space
+    compact kernel, which Mosaic rejects), producing ONE compacted stream
+    per shard. The ICI work is a psum/all_gather of byte totals so every
+    shard knows the global output size."""
+    from jpegtpu.encoder import _device_encode_pallas_batch
+    stream, seg_bits = _device_encode_pallas_batch(
+        imgs, quality=quality, subsampling=subsampling, restart=restart,
+        n_seg=n_seg_local, mcus_per_seg=mcus_per_seg,
+        bits_budget=bits_budget, use_fused=use_fused)
+    # stream: [L] u32 (all shard images' segments, in order);
+    # seg_bits: [b_loc, n_seg_local]
+    nbytes = (seg_bits + 7) >> 3
+    grand_total = jax.lax.psum(jnp.sum(nbytes), mesh_lib.ROW_AXIS)
+    return stream.reshape(1, -1), seg_bits, grand_total.reshape(1)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_sharded_pallas(mesh_key, shape: Tuple[int, int, int],
+                          cfg: EncoderConfig, bits_budget: int):
+    mesh = _MESHES[mesh_key]
+    b, h, w = shape
+    n_row = mesh.shape[mesh_lib.ROW_AXIS]
+    h_loc = h // n_row
+    my_loc, mx = ops.mcu_grid(h_loc, w, cfg.subsampling)
+    restart = cfg.resolve_restart(mx)
+    n_seg_local = my_loc * (mx // restart)
+    fn = functools.partial(
+        _shard_fn_pallas, quality=cfg.quality, subsampling=cfg.subsampling,
+        restart=restart, n_seg_local=n_seg_local, mcus_per_seg=restart,
+        bits_budget=bits_budget, use_fused=cfg.use_pallas)
+    sharded = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS, None, None),
+        out_specs=(P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
+                   P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
+                   P(mesh_lib.DATA_AXIS)),
+        check_vma=False)
+    return jax.jit(sharded), restart, n_seg_local
+
+
+def _assemble_sharded_pallas(stream, seg_bits, b, n_data, n_row, h, w, cfg,
+                             restart, n_seg_local):
+    """Host assembly for the sharded Pallas path.
+
+    stream: [n_data, n_row * L] — one compacted stream per (data, row)
+    shard, each holding that shard's whole image batch back to back.
+    seg_bits: [B, n_row * n_seg_local]. Fetches each shard stream's
+    compressed prefix once, then splices every image's segments in one
+    contiguous stuffing pass (RST numbering runs across row shards).
+    """
+    b_loc = b // n_data
+    per_shard_words = stream.shape[1] // n_row
+    seg_bits_np = np.asarray(seg_bits).reshape(b, n_row, n_seg_local)
+    nbytes = (seg_bits_np.astype(np.int64) + 7) // 8
+
+    my_real, mx = ops.mcu_grid(h, w, cfg.subsampling)
+    n_seg_keep = my_real * (mx // restart)
+
+    # Fetch each (data, row) shard's stream prefix once (compressed size).
+    chunk_bytes = {}
+    for d in range(n_data):
+        for r in range(n_row):
+            total = int(nbytes[d * b_loc:(d + 1) * b_loc, r].sum())
+            n_words = -(-total // 4)
+            raw = np.asarray(
+                stream[d, r * per_shard_words:
+                       r * per_shard_words + n_words]).view(np.uint8)
+            chunk_bytes[(d, r)] = raw[:total]
+
+    out = []
+    for i in range(b):
+        d, j = divmod(i, b_loc)
+        parts, lens = [], []
+        kept = 0
+        for r in range(n_row):
+            keep_segs = min(max(n_seg_keep - kept, 0), n_seg_local)
+            if keep_segs == 0:
+                break
+            # image j's bytes start after images 0..j-1 of this chunk
+            start = int(nbytes[d * b_loc:d * b_loc + j, r].sum())
+            nb = nbytes[i, r, :keep_segs]
+            parts.append(chunk_bytes[(d, r)][start:start + int(nb.sum())])
+            lens.append(nb)
+            kept += keep_segs
+        contig = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        nb_all = np.concatenate(lens).astype(np.int32)
+        scan_bytes = native.stuff_assemble_contig(contig, nb_all, restart)
+        out.append(jfif.wrap_jpeg(h, w, cfg.quality, cfg.subsampling,
+                                  restart, scan_bytes))
+    return out
 
 
 def _shard_fn_norestart(imgs, *, quality, subsampling, use_fused, n_row,
@@ -193,6 +297,24 @@ def encode_batch_sharded(imgs: np.ndarray, cfg: EncoderConfig, mesh):
         imgs = np.pad(imgs, [(0, 0), (0, ph), (0, pw), (0, 0)],
                       mode="symmetric")
     hp, wp = h + ph, w + pw
+
+    _, mx_p = ops.mcu_grid(hp, wp, cfg.subsampling)
+    restart_p = cfg.resolve_restart(mx_p)
+    if _pallas_entropy_ok(cfg, restart_p):
+        key = _mesh_key(mesh)
+        n_data = mesh.shape[mesh_lib.DATA_AXIS]
+        b_loc = b // n_data
+        fn, restart, n_seg_local = _build_sharded_pallas(
+            key, (b, hp, wp), cfg, DEFAULT_BITS_BUDGET)
+        stream, seg_bits, total = fn(jnp.asarray(imgs))
+        frames = stream.shape[1] // n_row // (b_loc * n_seg_local) // 1024
+        cap_bits = (frames - 1) * 1024 * 32
+        if int(np.asarray(seg_bits).max(initial=0)) > cap_bits:
+            fn, restart, n_seg_local = _build_sharded_pallas(
+                key, (b, hp, wp), cfg, MAX_BITS_PER_BLOCK)
+            stream, seg_bits, total = fn(jnp.asarray(imgs))
+        return _assemble_sharded_pallas(stream, seg_bits, b, n_data, n_row,
+                                        h, w, cfg, restart, n_seg_local)
 
     fn, restart = _build_sharded(_mesh_key(mesh), (b, hp, wp), cfg)
     stuffed, nbytes, offsets, total = fn(jnp.asarray(imgs))

@@ -51,6 +51,48 @@ def test_sharded_encode_pads_rows(mesh24):
     assert sharded == singles
 
 
+def test_sharded_pallas_entropy_path(mesh24, monkeypatch):
+    """The sharded Pallas entropy path (interpret mode) must produce files
+    byte-identical to the single-device encoder."""
+    import jpegtpu.kernels.entropy_pack as epk
+
+    rng = np.random.default_rng(9)
+    cfg = EncoderConfig(quality=80, subsampling="420",
+                        restart_interval="rows")
+    imgs = rng.integers(0, 256, (2, 64, 48, 3), dtype=np.uint8)
+    singles = [Encoder(cfg).encode(im) for im in imgs]
+
+    monkeypatch.setattr(shard, "_pallas_entropy_ok",
+                        lambda cfg_, mps: True)
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    shard._build_sharded_pallas.cache_clear()
+    try:
+        sharded = shard.encode_batch_sharded(imgs, cfg, mesh24)
+    finally:
+        shard._build_sharded_pallas.cache_clear()
+    assert sharded == singles
+
+
+def test_sharded_pallas_row_padding(mesh24, monkeypatch):
+    """Row-shard padding segments must be dropped on the Pallas path too."""
+    import jpegtpu.kernels.entropy_pack as epk
+
+    rng = np.random.default_rng(10)
+    cfg = EncoderConfig(quality=90, subsampling="444",
+                        restart_interval="rows")
+    imgs = rng.integers(0, 256, (2, 30, 24, 3), dtype=np.uint8)
+    singles = [Encoder(cfg).encode(im) for im in imgs]
+    monkeypatch.setattr(shard, "_pallas_entropy_ok",
+                        lambda cfg_, mps: True)
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    shard._build_sharded_pallas.cache_clear()
+    try:
+        sharded = shard.encode_batch_sharded(imgs, cfg, mesh24)
+    finally:
+        shard._build_sharded_pallas.cache_clear()
+    assert sharded == singles
+
+
 def test_norestart_sharded_dc_exchange(mesh24):
     """restart=0: the DC chain crosses shard boundaries via a ppermute
     exchange over the row axis; host merges shard bitstreams at bit level.

@@ -461,7 +461,12 @@ def _seg_merge_window_kernel(mwords_ref, mlens_ref, out_ref, bits_ref,
 
         @pl.when(crossed)
         def _():
-            out_ref[0, pl.ds(f, 1), :, :] = win[0:8, :].reshape(1, 8, 128)
+            # clamp so a budget-overflow run still completes (the host
+            # detects overflow from seg_bits and re-runs with a larger
+            # budget; an unclamped OOB store aborts the TPU)
+            f_safe = jnp.minimum(f, frames - 1)
+            out_ref[0, pl.ds(f_safe, 1), :, :] = \
+                win[0:8, :].reshape(1, 8, 128)
 
         win = jnp.where(crossed,
                         jnp.concatenate(
@@ -488,7 +493,8 @@ def _seg_merge_window_kernel(mwords_ref, mlens_ref, out_ref, bits_ref,
     padvec = jnp.where(lane == 0, padmask, jnp.uint32(0))
     win = place(win, (local_bits >> 5) << 5, [padvec])
 
-    out_ref[0, pl.ds(f, 1), :, :] = win[0:8, :].reshape(1, 8, 128)
+    f_safe = jnp.minimum(f, frames - 1)
+    out_ref[0, pl.ds(f_safe, 1), :, :] = win[0:8, :].reshape(1, 8, 128)
 
     @pl.when(f + 1 < frames)
     def _():
@@ -579,13 +585,16 @@ def _compact_kernel(bits_ref, frames_ref, out_ref, chunk_ref, flush_ref,
 
     def flush(f_out, win):
         flush_ref[...] = bswap(win[0:8, :])
-        cp = pltpu.make_async_copy(flush_ref, out_ref.at[f_out], sem_out)
+        f_safe = jnp.minimum(f_out, n_seg * f_per_seg - 1)
+        cp = pltpu.make_async_copy(flush_ref, out_ref.at[f_safe], sem_out)
         cp.start()
         cp.wait()
 
     def seg_body(s, state):
         local_bits, f_out, win, carry = state
         nbits = ((bits_ref[0, s] + 7) >> 3) << 3
+        # clamp for budget-overflow runs (host escalates afterwards)
+        nbits = jnp.minimum(nbits, f_per_seg * frame_bits)
         nchunks = (nbits + frame_bits - 1) // frame_bits
 
         def chunk_body(i, st):

@@ -6,7 +6,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Measured quantity: the full device encode pipeline — fused pixel-path matmul
 + Pallas entropy kernels (symbolize, per-block pack, segment merge, stream
 compaction) — synchronized per frame via a dependent scalar fetch. Host-side
-work (byte-stuffing + marker splice, ~5 ms of C++ on the final bytes) and
+work (byte-stuffing + marker splice, projected ~5 ms of C++ on the final
+bytes — unmeasured pending real-host hardware) and
 the host link transfer are excluded: this environment reaches the chip
 through a network tunnel whose device->host path runs at a few MB/s with
 hundreds of ms latency, so including it would benchmark the tunnel, not the
@@ -46,10 +47,20 @@ def main():
     cfg = EncoderConfig(quality=90, subsampling="420",
                         restart_interval="rows")
 
-    # Correctness gate: the full encode must produce a valid JPEG.
+    # Correctness gate: the full encode must produce a JPEG an independent
+    # decoder accepts, at sane fidelity — a corrupted scan body cannot post
+    # a headline number.
     enc = Encoder(cfg)
     jpg = enc.encode(img)
     assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+    import io as _io
+
+    from PIL import Image
+    dec = np.asarray(Image.open(_io.BytesIO(jpg)).convert("RGB"),
+                     dtype=np.float64)
+    mse = float(np.mean((dec - img.astype(np.float64)) ** 2))
+    psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+    assert psnr > 28.0, f"decoded PSNR {psnr:.2f} dB — corrupt output?"
 
     # Device-pipeline throughput, amortized: frames are queued back-to-back
     # (steady-state pipelining) and one dependent scalar fetch at the end
@@ -79,6 +90,8 @@ def main():
         "value": round(mpix_s, 2),
         "unit": "MPix/s/chip",
         "vs_baseline": round(mpix_s / target, 3),
+        "psnr_db": round(psnr, 2),
+        "bytes": len(jpg),
     }))
     return 0
 

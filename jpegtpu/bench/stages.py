@@ -96,8 +96,10 @@ def stage_report(img: np.ndarray, cfg: EncoderConfig,
         n_seg = -(-n_mcu // restart) if restart else 1
         bps = (restart if restart else n_mcu) * b
         w_cap = -(-bps * 384 // 32)
-        f_merge = jax.jit(lambda w, l: entropy_pack.seg_merge_v2(
-            w, l, n_seg, bps, w_cap, blocks_per_mcu=b))
+        mcu_chunks, _ = entropy_pack.mcu_capacity(b, 384)
+        f_merge = jax.jit(lambda w, l: entropy_pack.seg_merge_v3(
+            w, l, n_seg, bps, w_cap, blocks_per_mcu=b,
+            mcu_chunks=mcu_chunks)[:2])
         out["seg_merge"] = _sync_time(f_merge, words, blens, iters=iters)
         sw, sb = f_merge(words, blens)
         fps = sw.shape[1] // 1024
@@ -142,15 +144,17 @@ def speedup_table(img: np.ndarray, cfg: EncoderConfig,
                   cpu: Optional[Dict[str, float]] = None) -> str:
     """Formatted per-stage table plus a total CPU-vs-device speedup row —
     the reference's printout format (src/OpenCLProject_JpegEncoder.cpp:
-    622-629), with our native C++ sequential encoder as the CPU side."""
+    622-629), with our native C++ sequential encoder as the CPU side.
+    Totals come from the StageTimes telemetry struct (bench.telemetry),
+    the one summary type shared by every reporting path."""
+    from jpegtpu.bench.telemetry import StageTimes
     dev = stage_report(img, cfg)
+    times = StageTimes.from_report(dev)
     lines = [f"{'stage':>26} {'device':>12} {'cpu':>12} {'speedup':>9}"]
-    dev_total = 0.0
+    dev_total = times.device_total
     for k, v in dev.items():
         if k == "native_available":
             continue
-        if not (k.startswith("oracle:") or k.startswith("host:")):
-            dev_total += v                    # production pipeline stages
         c = (cpu or {}).get(k)
         cs = f"{c * 1e3:9.2f} ms" if c else " " * 12
         sp = f"{c / v:8.1f}x" if c else " " * 9

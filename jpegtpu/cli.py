@@ -114,6 +114,27 @@ def _dump_stages(img, cfg, out_dir, stem):
         ppm.write_pnm(os.path.join(out_dir, f"{stem}_cr_420.pgm"),
                       np.clip(np.asarray(cr), 0, 255).astype(np.uint8))
 
+    # Coefficient-level artifacts: quantized zigzag blocks and per-segment
+    # bit counts — the analog of the reference's 8x8 preview printers
+    # (src/utils.cpp:352-451), for diagnosing TPU-vs-oracle divergence.
+    if cfg.subsampling != "444s":
+        import jax.numpy as jnp
+        from jpegtpu.entropy import scan as escan
+        coeffs = np.asarray(ops.encode_blocks(img, cfg.quality,
+                                              cfg.subsampling))
+        np.save(os.path.join(out_dir, f"{stem}_coeffs_zigzag.npy"), coeffs)
+        _, mx = ops.mcu_grid(*img.shape[:2], cfg.subsampling)
+        restart = cfg.resolve_restart(mx)
+        lens, _ = escan.symbolize_scan(jnp.asarray(coeffs), cfg.n_luma,
+                                       restart)
+        per_mcu = np.asarray(lens).reshape(coeffs.shape[0], -1).sum(axis=1)
+        if restart > 0:
+            seg_bits = np.add.reduceat(
+                per_mcu, np.arange(0, per_mcu.size, restart))
+        else:
+            seg_bits = per_mcu.sum(keepdims=True)
+        np.save(os.path.join(out_dir, f"{stem}_seg_bits.npy"), seg_bits)
+
 
 def cmd_info(args) -> int:
     """Device banner — the analog of OpenCL::printDeviceInfo
@@ -178,7 +199,17 @@ def cmd_bench(args) -> int:
         img = rng.integers(0, 256, (2160, 3840, 3), dtype=np.uint8)
     cfg = _config(args)
     if args.stages:
-        print(stages.speedup_table(img, cfg))
+        if args.trace:
+            # Device trace capture — the CL-event profiling analog
+            # (/root/reference/lib/OpenCL/Event.cpp:26-29): per-kernel
+            # device times, not just host wall-clock chains.
+            import jax
+            with jax.profiler.trace(args.trace):
+                print(stages.speedup_table(img, cfg))
+            print(f"device trace written to {args.trace} "
+                  f"(inspect with tensorboard/xprof)")
+        else:
+            print(stages.speedup_table(img, cfg))
     else:
         from jpegtpu.encoder import Encoder
         enc = Encoder(cfg)
@@ -220,6 +251,9 @@ def main(argv=None) -> int:
     p.add_argument("inputs", nargs="*")
     p.add_argument("--stages", action="store_true",
                    help="per-stage telemetry table")
+    p.add_argument("--trace", metavar="DIR", default=None,
+                   help="with --stages: capture a jax.profiler device "
+                        "trace (per-kernel device times) into DIR")
     p.add_argument("--iters", type=int, default=5)
     _add_encode_flags(p)
     p.set_defaults(fn=cmd_bench)

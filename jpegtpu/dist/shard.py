@@ -24,6 +24,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from jpegtpu import native
@@ -38,10 +39,9 @@ from jpegtpu.entropy.assemble import MAX_BITS_PER_BLOCK
 
 
 def _pallas_entropy_ok(cfg: EncoderConfig, mcus_per_seg: int) -> bool:
-    """Same selection rule as the single-device encoder (jpegtpu.encoder)."""
-    seg_vmem = mcus_per_seg * cfg.blocks_per_mcu * 64 * 4
-    return (cfg.device_bitpack and jax.default_backend() == "tpu" and
-            seg_vmem <= 6 * 1024 * 1024)
+    """Same selection rule as the single-device encoder (jpegtpu.encoder):
+    the v3 merge streams from HBM, so segment length no longer matters."""
+    return cfg.device_bitpack and jax.default_backend() == "tpu"
 
 
 def _shard_fn(imgs, *, quality, subsampling, restart, n_seg_local,
@@ -76,7 +76,7 @@ def _shard_fn_pallas(imgs, *, quality, subsampling, restart, n_seg_local,
     per shard. The ICI work is a psum/all_gather of byte totals so every
     shard knows the global output size."""
     from jpegtpu.encoder import _device_encode_pallas_batch
-    stream, seg_bits = _device_encode_pallas_batch(
+    stream, seg_bits, max_mcu = _device_encode_pallas_batch(
         imgs, quality=quality, subsampling=subsampling, restart=restart,
         n_seg=n_seg_local, mcus_per_seg=mcus_per_seg,
         bits_budget=bits_budget, use_fused=use_fused)
@@ -84,7 +84,9 @@ def _shard_fn_pallas(imgs, *, quality, subsampling, restart, n_seg_local,
     # seg_bits: [b_loc, n_seg_local]
     nbytes = (seg_bits + 7) >> 3
     grand_total = jax.lax.psum(jnp.sum(nbytes), mesh_lib.ROW_AXIS)
-    return stream.reshape(1, -1), seg_bits, grand_total.reshape(1)
+    max_mcu = jax.lax.pmax(max_mcu, mesh_lib.ROW_AXIS)
+    return (stream.reshape(1, -1), seg_bits, grand_total.reshape(1),
+            max_mcu.reshape(1))
 
 
 @functools.lru_cache(maxsize=16)
@@ -96,6 +98,14 @@ def _build_sharded_pallas(mesh_key, shape: Tuple[int, int, int],
     h_loc = h // n_row
     my_loc, mx = ops.mcu_grid(h_loc, w, cfg.subsampling)
     restart = cfg.resolve_restart(mx)
+    if restart <= 0 or mx % restart:
+        # Same contract as _build_sharded: a restart interval that does not
+        # divide the MCUs-per-row count would cross row-shard boundaries and
+        # silently undercount segments here (corrupt output, not an error).
+        raise ValueError(
+            "sharded encode requires restart segments that do not cross "
+            "row shards (use restart_interval='rows' or a divisor of the "
+            "MCUs-per-row count)")
     n_seg_local = my_loc * (mx // restart)
     fn = functools.partial(
         _shard_fn_pallas, quality=cfg.quality, subsampling=cfg.subsampling,
@@ -106,9 +116,10 @@ def _build_sharded_pallas(mesh_key, shape: Tuple[int, int, int],
         in_specs=P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS, None, None),
         out_specs=(P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
                    P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
+                   P(mesh_lib.DATA_AXIS),
                    P(mesh_lib.DATA_AXIS)),
         check_vma=False)
-    return jax.jit(sharded), restart, n_seg_local
+    return _jit_replicated_out(sharded, mesh), restart, n_seg_local
 
 
 def _assemble_sharded_pallas(stream, seg_bits, b, n_data, n_row, h, w, cfg,
@@ -216,14 +227,14 @@ def _build_sharded_norestart(mesh_key, shape: Tuple[int, int, int],
         out_specs=(P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
                    P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS)),
         check_vma=False)
-    return jax.jit(sharded)
+    return _jit_replicated_out(sharded, mesh)
 
 
 def _encode_batch_sharded_norestart(imgs, cfg, mesh):
     b, h, w = imgs.shape[:3]
     n_row = mesh.shape[mesh_lib.ROW_AXIS]
     fn = _build_sharded_norestart(_mesh_key(mesh), (b, h, w), cfg)
-    words, bits = fn(jnp.asarray(imgs))
+    words, bits = fn(_put_imgs(imgs, mesh))
     words = np.asarray(words).reshape(b, n_row, -1)
     bits = np.asarray(bits).reshape(b, n_row).astype(np.int64)
     out = []
@@ -267,7 +278,34 @@ def _build_sharded(mesh_key, shape: Tuple[int, int, int], cfg: EncoderConfig):
                    P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
                    P(mesh_lib.DATA_AXIS)),
         check_vma=False)
-    return jax.jit(sharded), restart
+    return _jit_replicated_out(sharded, mesh), restart
+
+
+def _put_imgs(imgs: np.ndarray, mesh):
+    """Host batch -> device array sharded (data, row) over the mesh.
+
+    Single-process: a plain transfer (jit shards it). Multi-process (DCN
+    pods, dist/mesh.py::init_multihost): every process holds the full host
+    batch and contributes its addressable shards — the standard
+    host-local -> global array bring-up."""
+    if jax.process_count() == 1:
+        return jnp.asarray(imgs)
+    spec = [mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS] + \
+        [None] * (imgs.ndim - 2)
+    sharding = NamedSharding(mesh, P(*spec))
+    # Every process holds the full batch; the callback hands each device
+    # its global slice (unambiguous, unlike *_from_process_local_data
+    # which reads its argument as this process's portion only).
+    return jax.make_array_from_callback(imgs.shape, sharding,
+                                        lambda idx: imgs[idx])
+
+
+def _jit_replicated_out(fn, mesh):
+    """jit wrapper: on multi-process meshes, replicate outputs to every
+    host so the (host-side) assembly runs identically on all processes."""
+    if jax.process_count() == 1:
+        return jax.jit(fn)
+    return jax.jit(fn, out_shardings=NamedSharding(mesh, P()))
 
 
 _MESHES = {}
@@ -306,18 +344,21 @@ def encode_batch_sharded(imgs: np.ndarray, cfg: EncoderConfig, mesh):
         b_loc = b // n_data
         fn, restart, n_seg_local = _build_sharded_pallas(
             key, (b, hp, wp), cfg, DEFAULT_BITS_BUDGET)
-        stream, seg_bits, total = fn(jnp.asarray(imgs))
+        stream, seg_bits, total, max_mcu = fn(_put_imgs(imgs, mesh))
         frames = stream.shape[1] // n_row // (b_loc * n_seg_local) // 1024
         cap_bits = (frames - 1) * 1024 * 32
-        if int(np.asarray(seg_bits).max(initial=0)) > cap_bits:
+        from jpegtpu.encoder import _budget_overflow
+        if _budget_overflow(np.asarray(seg_bits),
+                            int(np.asarray(max_mcu).max(initial=0)),
+                            cap_bits, cfg.blocks_per_mcu):
             fn, restart, n_seg_local = _build_sharded_pallas(
                 key, (b, hp, wp), cfg, MAX_BITS_PER_BLOCK)
-            stream, seg_bits, total = fn(jnp.asarray(imgs))
+            stream, seg_bits, total, max_mcu = fn(_put_imgs(imgs, mesh))
         return _assemble_sharded_pallas(stream, seg_bits, b, n_data, n_row,
                                         h, w, cfg, restart, n_seg_local)
 
     fn, restart = _build_sharded(_mesh_key(mesh), (b, hp, wp), cfg)
-    stuffed, nbytes, offsets, total = fn(jnp.asarray(imgs))
+    stuffed, nbytes, offsets, total = fn(_put_imgs(imgs, mesh))
     stuffed = np.asarray(stuffed).reshape(b, -1, stuffed.shape[-1])
     nbytes = np.asarray(nbytes).reshape(b, -1)
 

@@ -23,6 +23,7 @@ and the rare image that overflows escalates to the worst-case bound
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import List, Sequence, Tuple
 
 import jax
@@ -38,6 +39,11 @@ from jpegtpu.entropy.assemble import MAX_BITS_PER_BLOCK
 
 # Default per-block bit budget for device buffers (~4x typical q90 usage).
 DEFAULT_BITS_BUDGET = 384
+
+
+class BatchGeometryError(ValueError):
+    """A batch cannot take the fused single-program path (geometry only —
+    genuine input errors raise plain ValueError and propagate)."""
 
 
 def _pixel_path(img, quality: str, subsampling: str, use_fused: bool):
@@ -70,7 +76,8 @@ def _device_encode_xla(img, *, quality, subsampling, restart, n_seg,
 
 def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
                           mcus_per_seg, bits_budget, use_fused):
-    """Pallas device program -> unstuffed per-segment words + bit counts."""
+    """Pallas device program -> compacted stream + per-segment bit counts
+    + the max per-MCU bit count (host escalation check, see mcu_capacity)."""
     from jpegtpu.kernels import entropy_pack
     n_luma = _n_luma(subsampling)
     coeffs = _pixel_path(img, quality, subsampling, use_fused)
@@ -87,14 +94,16 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
             [blens, jnp.zeros(pad_mcu * b, blens.dtype)])
     bps = mcus_per_seg * b
     w_cap = -(-bps * bits_budget // 32)
-    seg_words, seg_bits = entropy_pack.seg_merge_v2(
-        words, blens, n_seg, bps, w_cap, blocks_per_mcu=b)
+    mcu_chunks, _ = entropy_pack.mcu_capacity(b, bits_budget)
+    seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_v3(
+        words, blens, n_seg, bps, w_cap, blocks_per_mcu=b,
+        mcu_chunks=mcu_chunks)
     # Device compaction: only the actual compressed bytes ever cross the
     # host link (which can be slow — e.g. a tunneled chip).
     frames_per_seg = seg_words.shape[1] // 1024
     stream = entropy_pack.compact_segments(seg_words, seg_bits,
                                            frames_per_seg)
-    return stream, seg_bits
+    return stream, seg_bits, max_mcu_bits
 
 
 def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
@@ -118,12 +127,14 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
         flat.reshape(-1, 64), cls.astype(jnp.int32), dcd)
     bps = mcus_per_seg * b
     w_cap = -(-bps * bits_budget // 32)
-    seg_words, seg_bits = entropy_pack.seg_merge_v2(
-        words, blens, bsz * n_seg, bps, w_cap, blocks_per_mcu=b)
+    mcu_chunks, _ = entropy_pack.mcu_capacity(b, bits_budget)
+    seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_v3(
+        words, blens, bsz * n_seg, bps, w_cap, blocks_per_mcu=b,
+        mcu_chunks=mcu_chunks)
     frames_per_seg = seg_words.shape[1] // 1024
     stream = entropy_pack.compact_segments(seg_words, seg_bits,
                                            frames_per_seg)
-    return stream, seg_bits.reshape(bsz, n_seg)
+    return stream, seg_bits.reshape(bsz, n_seg), max_mcu_bits
 
 
 @functools.lru_cache(maxsize=32)
@@ -132,7 +143,7 @@ def _jitted_encode_batch(batch: int, shape: Tuple[int, int],
     restart, n_seg, mcus_per_seg = _geometry(shape, cfg)
     my, mx = ops.mcu_grid(*shape, cfg.subsampling)
     if restart <= 0 or (my * mx) % restart:
-        raise ValueError(
+        raise BatchGeometryError(
             "batched encode requires restart segments dividing each "
             "image's MCU count (use restart_interval='rows')")
     fn = functools.partial(
@@ -142,6 +153,18 @@ def _jitted_encode_batch(batch: int, shape: Tuple[int, int],
         bits_budget=bits_budget or DEFAULT_BITS_BUDGET,
         use_fused=cfg.use_pallas)
     return jax.jit(fn), restart, n_seg
+
+
+def _budget_overflow(seg_bits_np: np.ndarray, max_mcu_bits: int,
+                     cap_bits: int, blocks_per_mcu: int) -> bool:
+    """True when the default bit budget was insufficient: a segment spilled
+    its frame capacity, or a single MCU exceeded the (budget-sized) MCU
+    stream capacity — both silently truncate on device, so the host must
+    re-run with the worst-case budget (which can never overflow)."""
+    from jpegtpu.kernels.entropy_pack import mcu_capacity
+    _, mcu_cap_bits = mcu_capacity(blocks_per_mcu, DEFAULT_BITS_BUDGET)
+    return (int(seg_bits_np.max(initial=0)) > cap_bits or
+            max_mcu_bits > mcu_cap_bits)
 
 
 def _geometry(shape: Tuple[int, int], cfg: EncoderConfig):
@@ -162,14 +185,12 @@ def _jitted_encode(shape: Tuple[int, int], cfg: EncoderConfig,
     Returns (fn, restart, kind) with kind in {'stuffed', 'words'}.
     """
     restart, n_seg, mcus_per_seg = _geometry(shape, cfg)
+    # The v3 merge streams MCU blocks through a grid dimension, so VMEM use
+    # is independent of segment length — restart_interval=0 takes the
+    # Pallas path too (the old 6 MB heuristic and its 65x XLA-fallback
+    # cliff are gone).
     use_pallas_entropy = (cfg.device_bitpack and
                           jax.default_backend() == "tpu")
-    # The v2 merge stages a whole segment's MCU streams in VMEM; for very
-    # long segments (e.g. restart disabled on a large image) that exceeds
-    # VMEM — fall back to the XLA path there.
-    seg_vmem_bytes = mcus_per_seg * cfg.blocks_per_mcu * 64 * 4
-    if seg_vmem_bytes > 6 * 1024 * 1024:
-        use_pallas_entropy = False
     if use_pallas_entropy:
         fn = functools.partial(
             _device_encode_pallas, quality=cfg.quality,
@@ -196,15 +217,16 @@ class Encoder:
         fn, restart, kind = _jitted_encode((h, w), self.config)
         out = fn(jnp.asarray(img))
         if kind == "stream":
-            stream, seg_bits = out
+            stream, seg_bits, max_mcu = out
             seg_bits_np = np.asarray(seg_bits)     # tiny fetch, also syncs
             frames = stream.shape[0] // seg_bits.shape[0] // 1024
             cap_bits = (frames - 1) * 1024 * 32    # last frame is slack
-            if int(seg_bits_np.max(initial=0)) > cap_bits:
+            if _budget_overflow(seg_bits_np, int(np.asarray(max_mcu)),
+                                cap_bits, self.config.blocks_per_mcu):
                 # Rare escalation: re-run with the worst-case budget.
                 fn, restart, kind = _jitted_encode(
                     (h, w), self.config, MAX_BITS_PER_BLOCK)
-                stream, seg_bits = fn(jnp.asarray(img))
+                stream, seg_bits, max_mcu = fn(jnp.asarray(img))
                 seg_bits_np = np.asarray(seg_bits)
             return ("stream", stream, seg_bits_np, restart)
         stuffed, nbytes, _ = out
@@ -291,8 +313,12 @@ def encode_batch(imgs: Sequence[np.ndarray], **kw) -> List[bytes]:
             cfg.device_bitpack and jax.default_backend() == "tpu"):
         try:
             return _encode_batch_fused(np.stack(imgs), cfg)
-        except ValueError:
-            pass
+        except BatchGeometryError as e:
+            # Geometry prevents the single-program path; a throughput-mode
+            # user should know they are paying N dispatches instead of 1.
+            warnings.warn(f"encode_batch: fused batch path unavailable "
+                          f"({e}); falling back to per-image encodes",
+                          RuntimeWarning, stacklevel=2)
     enc = Encoder(cfg)
     return [enc.encode(im) for im in imgs]
 
@@ -300,14 +326,15 @@ def encode_batch(imgs: Sequence[np.ndarray], **kw) -> List[bytes]:
 def _encode_batch_fused(imgs: np.ndarray, cfg: EncoderConfig) -> List[bytes]:
     bsz, h, w = imgs.shape[:3]
     fn, restart, n_seg = _jitted_encode_batch(bsz, (h, w), cfg)
-    stream, seg_bits = fn(jnp.asarray(imgs))
+    stream, seg_bits, max_mcu = fn(jnp.asarray(imgs))
     seg_bits_np = np.asarray(seg_bits)
     frames = stream.shape[0] // (bsz * n_seg) // 1024
     cap_bits = (frames - 1) * 1024 * 32
-    if int(seg_bits_np.max(initial=0)) > cap_bits:
+    if _budget_overflow(seg_bits_np, int(np.asarray(max_mcu)), cap_bits,
+                        cfg.blocks_per_mcu):
         fn, restart, n_seg = _jitted_encode_batch(
             bsz, (h, w), cfg, MAX_BITS_PER_BLOCK)
-        stream, seg_bits = fn(jnp.asarray(imgs))
+        stream, seg_bits, max_mcu = fn(jnp.asarray(imgs))
         seg_bits_np = np.asarray(seg_bits)
 
     nbytes = (seg_bits_np.astype(np.int64) + 7) // 8   # [B, n_seg]

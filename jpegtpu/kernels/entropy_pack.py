@@ -239,23 +239,16 @@ def _place_pair(v_hi, v_lo, wt, k, half):
     pos_lo = jnp.where(k == 0, 0, pltpu.roll(pos, 1, axis=1))
 
     def place(v, pos_v):
-        vh = pltpu.bitcast(jnp.right_shift(v, 16),
-                           jnp.int32).astype(jnp.float32)
-        vl = pltpu.bitcast(v & 0xFFFF, jnp.int32).astype(jnp.float32)
-
-        def ps_at(ps):
-            g = jnp.take_along_axis(pltpu.bitcast(ps, jnp.int32),
-                                    jnp.maximum(pos_v - 1, 0) + base,
-                                    axis=1)
-            g = pltpu.bitcast(g, jnp.float32)
-            g = jnp.where(pos_v > 0, g, 0.0)
-            prev = pltpu.roll(g, 1, axis=1)
-            cum = g - jnp.where(k == 0, 0.0, prev)
-            return pltpu.bitcast(cum.astype(jnp.int32), jnp.uint32)
-
-        psh = _cumlog64(vh, jnp.add, 0.0, k)
-        psl = _cumlog64(vl, jnp.add, 0.0, k)
-        return jnp.left_shift(ps_at(psh), 16) | ps_at(psl)
+        # Prefix sums in int32 (wrapping). Bits landing in one output word
+        # are disjoint, so the true per-word sum fits u32 and the mod-2^32
+        # difference of prefix sums is exact — no 16-bit split needed.
+        ps = _cumlog64(pltpu.bitcast(v, jnp.int32), jnp.add, 0, k)
+        g = jnp.take_along_axis(ps, jnp.maximum(pos_v - 1, 0) + base,
+                                axis=1)
+        g = jnp.where(pos_v > 0, g, 0)
+        prev = pltpu.roll(g, 1, axis=1)
+        cum = g - jnp.where(k == 0, 0, prev)
+        return pltpu.bitcast(cum, jnp.uint32)
 
     return place(v_hi, pos) + place(v_lo, pos_lo)
 
@@ -323,6 +316,20 @@ def block_pack(coeffs: jax.Array, cls: jax.Array,
     return words.reshape(n, 64)[:, :BLOCK_WORDS], lens.reshape(n)
 
 
+def mcu_capacity(g: int, bits_budget: int) -> Tuple[int, int]:
+    """Per-MCU stream capacity under a per-block bit budget.
+
+    Returns (chunks, cap_bits): the MCU stream is staged in chunks*128
+    words; cap_bits is the largest per-MCU bit count that provably fits
+    (2 words of funnel-spill slack). The caller must escalate to the
+    worst-case budget when any MCU exceeds cap_bits — with
+    bits_budget >= MAX_BITS_PER_BLOCK this is the true worst case and
+    can never overflow."""
+    cap_words = min(g * 52 + 2, -(-g * bits_budget // 32) + 2)
+    chunks = -(-cap_words // 128)
+    return chunks, (chunks * 128 - 2) * 32
+
+
 def _mcu_merge_kernel(words_ref, lens_ref, mwords_ref, mlens_ref,
                       *, g: int, chunks: int):
     """Vectorized pre-merge: G consecutive block streams -> one MCU stream.
@@ -360,19 +367,26 @@ def _mcu_merge_kernel(words_ref, lens_ref, mwords_ref, mlens_ref,
     mlens_ref[...] = off
 
 
-def mcu_merge(words: jax.Array, lens: jax.Array, g: int):
-    """[N, BLOCK_WORDS] + [N] -> ([N/g, chunks*128], [N/g]) MCU streams."""
+def mcu_merge(words: jax.Array, lens: jax.Array, g: int,
+              chunks: int | None = None):
+    """[N, BLOCK_WORDS] + [N] -> ([N/g, chunks*128], [N/g]) MCU streams.
+
+    chunks defaults to the worst-case capacity (g*52+2 words). Callers on
+    a bit-budget pass mcu_capacity(...)[0] — 1 chunk instead of 3 for the
+    default 420 budget — and must check max(mlens) against cap_bits
+    host-side (an over-budget MCU is silently truncated here)."""
     n = words.shape[0]
     assert n % g == 0
     nm = n // g
-    chunks = -(-(g * 52 + 2) // 128)
+    if chunks is None:
+        chunks = -(-(g * 52 + 2) // 128)
     tile = 128
     pad = (-nm) % tile
     if pad:
         words = jnp.concatenate(
             [words, jnp.zeros((pad * g, BLOCK_WORDS), words.dtype)])
         lens = jnp.concatenate([lens, jnp.zeros(pad * g, lens.dtype)])
-        mw, ml = mcu_merge(words, lens, g)
+        mw, ml = mcu_merge(words, lens, g, chunks)
         return mw[:nm], ml[:nm]
     kernel = functools.partial(_mcu_merge_kernel, g=g, chunks=chunks)
     mw, ml = pl.pallas_call(
@@ -537,6 +551,288 @@ def seg_merge_v2(words: jax.Array, lens: jax.Array, n_seg: int, bps: int,
     )(mwords.reshape(n_seg, mps, chunks * 128),
       mlens.reshape(n_seg, mps, 1))
     return out.reshape(n_seg, frames * 1024), bits.reshape(n_seg)
+
+
+def _seg_merge_v3_kernel(mwords_ref, off_ref, len_ref, map_ref, out_ref,
+                         win_ref, stage_ref, sem_out,
+                         *, mb: int, m_steps: int, chunks: int, s_rows: int,
+                         frames: int):
+    """Sublane-vectorized segment merge: S segments advance together.
+
+    Each grid step (g, m) appends `mb` MCU streams to each of `s_rows`
+    segments (segment = sublane row). All bit offsets are precomputed in
+    XLA, so the only loop-carried state is the window content:
+      * 16-chunk modular register window per row ([s_rows, 128] vregs);
+        an MCU stream is funnel-shifted by off&31, lane-rotated by a
+        native per-row gather (idx = (lane - pos) & 127), and OR-masked
+        into the window chunks addressed by (off>>5>>7) mod 16;
+      * frames flush to HBM via DMA when a row's offset crosses a
+        1024-word boundary (crossing iterations come in via an SMEM-cheap
+        scalar bitmap, also precomputed);
+      * the window persists across m grid steps in VMEM scratch, so a
+        segment's length never bounds VMEM — the streaming fix for the
+        restart=0 cliff.
+    mwords [1, mb, S, chunks*128], off/len [1, mb, S, 1], map [1, mb, 1, 1]
+    -> out [(G*S)*frames, 8, 128] via DMA only.
+    """
+    nwin = 16
+    frame_bits = 1024 * 32
+    g_id = pl.program_id(0)
+    m_id = pl.program_id(1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (s_rows, 128), 1)
+    su8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    zero = jnp.zeros((s_rows, 128), jnp.uint32)
+
+    is_first = m_id == 0
+    win = [jnp.where(is_first, zero, win_ref[c]) for c in range(nwin)]
+
+    def _stage(w, half, srow):
+        """[8, 128] frame image of window half `half`, row `srow`."""
+        acc = jnp.zeros((8, 128), jnp.uint32)
+        for k in range(8):
+            acc = acc | jnp.where(su8 == k,
+                                  w[half * 8 + k][srow:srow + 1, :], 0)
+        return acc
+
+    def body(j, win):
+        win = list(win)
+        o = off_ref[0, j]                                # [S, 1] i32
+        l = len_ref[0, j]                                # [S, 1]
+        s = mwords_ref[0, j]                             # [S, CW] u32
+        r = (o & 31).astype(jnp.uint32)
+
+        # funnel shift right by r bits across the whole stream (branch-free
+        # carry: (x<<1)<<((31-r)&31) == x<<(32-r) for r>=1, 0 for r==0)
+        shifted = []
+        prev_last = jnp.zeros((s_rows, 1), jnp.uint32)
+        for c in range(chunks):
+            ch = s[:, c * 128:(c + 1) * 128]
+            rolled1 = pltpu.roll(ch, 1, axis=1)
+            carry_in = jnp.where(lane == 0, prev_last, rolled1)
+            sh = jnp.right_shift(ch, r) | \
+                jnp.left_shift(jnp.left_shift(carry_in, 1), (31 - r) & 31)
+            shifted.append(sh)
+            prev_last = ch[:, 127:128]
+
+        # per-row lane rotation to the window-local position
+        p_abs = o >> 5                                   # word offset [S,1]
+        mrot = p_abs & 127
+        idx = (lane - mrot) & 127
+        rot = [pltpu.bitcast(
+            jnp.take_along_axis(pltpu.bitcast(sh, jnp.int32), idx, axis=1),
+            jnp.uint32) for sh in shifted]
+        hi = [jnp.where(lane >= mrot, rc, 0) for rc in rot]
+        lo = [jnp.where(lane < mrot, rc, 0) for rc in rot]
+
+        pw = (p_abs >> 7)                                # chunk index [S,1]
+        for w in range(nwin):
+            acc = win[w]
+            for c in range(chunks):
+                acc = acc | jnp.where(((pw + c) & (nwin - 1)) == w,
+                                      hi[c], 0)
+                acc = acc | jnp.where(((pw + c + 1) & (nwin - 1)) == w,
+                                      lo[c], 0)
+            win[w] = acc
+
+        # flush completed frames (rare; bitmap precomputed in XLA)
+        mp = map_ref[0, j, 0, 0]
+
+        @pl.when(mp != 0)
+        def _():
+            for srow in range(s_rows):
+                @pl.when(((mp >> srow) & 1) != 0)
+                def _(srow=srow):
+                    o_s = off_ref[0, j, srow, 0]
+                    f = o_s >> 15                        # frame completed
+                    f_safe = jnp.minimum(f, frames - 1)  # budget overflow
+                    seg = g_id * s_rows + srow
+
+                    @pl.when((f & 1) == 0)
+                    def _():
+                        stage_ref[...] = _stage(win, 0, srow)
+
+                    @pl.when((f & 1) == 1)
+                    def _():
+                        stage_ref[...] = _stage(win, 1, srow)
+
+                    cp = pltpu.make_async_copy(
+                        stage_ref, out_ref.at[seg * frames + f_safe],
+                        sem_out)
+                    cp.start()
+                    cp.wait()
+
+        # retire the flushed half so it can host frame f+2
+        fstart = o >> 15
+        crossed = ((o + l) >> 15) > fstart               # [S,1] bool
+        parity = fstart & 1
+        for w in range(nwin):
+            win[w] = jnp.where(crossed & (parity == (w // 8)), 0, win[w])
+        return tuple(win)
+
+    win = jax.lax.fori_loop(0, mb, body, tuple(win))
+    win = list(win)
+
+    # Final grid step per group: 1-pad the last byte (T.81 F.1.2.3) and
+    # flush the remaining partial frame (+1 slack frame for pad spill).
+    # The pad OR is value-level, so it is masked by is_last rather than
+    # wrapped in pl.when — on earlier steps it must not touch the window.
+    is_last = m_id == m_steps - 1
+    total = off_ref[0, mb - 1] + len_ref[0, mb - 1]      # [S, 1]
+    padb = (8 - (total & 7)) & 7
+    b_in = total & 31
+    padval = pltpu.bitcast(
+        jnp.left_shift((jnp.left_shift(1, padb) - 1),
+                       (32 - b_in - padb) & 31), jnp.uint32)
+    p_pad = total >> 5
+    contrib = jnp.where(lane == (p_pad & 127), padval, jnp.uint32(0))
+    pwp = p_pad >> 7
+    for w in range(nwin):
+        win[w] = win[w] | jnp.where(
+            is_last & ((pwp & (nwin - 1)) == w), contrib, 0)
+
+    @pl.when(is_last)
+    def _():
+        for srow in range(s_rows):
+            o_s = off_ref[0, mb - 1, srow, 0] + len_ref[0, mb - 1, srow, 0]
+            fcur = o_s >> 15
+            f_safe = jnp.minimum(fcur, frames - 1)
+            seg = g_id * s_rows + srow
+
+            @pl.when((fcur & 1) == 0)
+            def _(srow=srow):
+                stage_ref[...] = _stage(win, 0, srow)
+
+            @pl.when((fcur & 1) == 1)
+            def _(srow=srow):
+                stage_ref[...] = _stage(win, 1, srow)
+
+            cp = pltpu.make_async_copy(
+                stage_ref, out_ref.at[seg * frames + f_safe], sem_out)
+            cp.start()
+            cp.wait()
+
+            # slack frame: byte padding can spill past a frame boundary
+            @pl.when(fcur + 1 < frames)
+            def _(srow=srow, seg=seg, fcur=fcur):
+                @pl.when((fcur & 1) == 1)
+                def _():
+                    stage_ref[...] = _stage(win, 0, srow)
+
+                @pl.when((fcur & 1) == 0)
+                def _():
+                    stage_ref[...] = _stage(win, 1, srow)
+
+                cp2 = pltpu.make_async_copy(
+                    stage_ref, out_ref.at[seg * frames + fcur + 1], sem_out)
+                cp2.start()
+                cp2.wait()
+
+    for c in range(nwin):
+        win_ref[c] = win[c]
+
+
+def seg_merge_v3(words: jax.Array, lens: jax.Array, n_seg: int, bps: int,
+                 w_cap: int, blocks_per_mcu: int,
+                 mcu_chunks: int | None = None,
+                 block_mcus: int | None = None):
+    """Per-block streams -> per-segment streams, offset-precomputed and
+    sublane-vectorized (up to 8 segments advance per serial iteration).
+
+    Returns (seg_words [n_seg, frames*1024] u32, seg_bits [n_seg] i32,
+    max_mcu_bits scalar i32). Unlike v2, VMEM use is independent of
+    segment length (MCU blocks stream through a grid dimension), so
+    restart_interval=0 runs here too. Caller must escalate when
+    max_mcu_bits exceeds mcu_capacity(...)[1] or any seg_bits exceeds the
+    frame capacity."""
+    g = blocks_per_mcu
+    mwords, mlens = mcu_merge(words, lens, g, mcu_chunks)
+    chunks = mwords.shape[1] // 128
+    nm = mwords.shape[0]
+    mps = bps // g
+    assert nm == n_seg * mps
+    max_mcu_bits = jnp.max(mlens)
+
+    # XLA precompute: per-MCU exclusive bit offsets + crossing bitmap.
+    ml = mlens.reshape(n_seg, mps).astype(jnp.int32)
+    csum = jnp.cumsum(ml, axis=1)
+    off = csum - ml
+    seg_bits = csum[:, -1]
+
+    s_rows = 1
+    while s_rows < min(n_seg, 8):
+        s_rows *= 2
+    n_groups = -(-n_seg // s_rows)
+    n_seg_p = n_groups * s_rows
+
+    # MCU-block grid size: keep the input block around <=1 MB of VMEM
+    # (block_mcus overrides for tests that force multi-step streaming).
+    mb = block_mcus or max(
+        8, min(mps, (1 << 20) // max(1, s_rows * chunks * 128 * 4)))
+    mps_p = -(-mps // mb) * mb
+    m_steps = mps_p // mb
+
+    def _pad_seg_mcu(x, fill=0):
+        """[n_seg, mps, ...] -> [n_seg_p, mps_p, ...]."""
+        pad_s = n_seg_p - n_seg
+        pad_m = mps_p - mps
+        cfg = [(0, pad_s), (0, pad_m)] + [(0, 0)] * (x.ndim - 2)
+        return jnp.pad(x, cfg) if (pad_s or pad_m) else x
+
+    # Padded MCUs carry their segment's final offset (zero length, no-op
+    # placement, stable `total` reads in the kernel's final flush).
+    off_p = _pad_seg_mcu(off)
+    if mps_p > mps:
+        tail = jnp.broadcast_to(csum[:, -1:], (n_seg, mps_p - mps))
+        off_p = off_p.at[:n_seg, mps:].set(tail)
+    len_p = _pad_seg_mcu(ml)
+    mw_p = _pad_seg_mcu(mwords.reshape(n_seg, mps, chunks * 128))
+
+    fstart = off_p >> 15
+    crossed = ((off_p + len_p) >> 15) > fstart
+    cr = crossed.reshape(n_groups, s_rows, mps_p).astype(jnp.int32)
+    fmap = jnp.sum(cr << jnp.arange(s_rows, dtype=jnp.int32)[None, :, None],
+                   axis=1)                               # [G, mps_p]
+
+    def _to_kernel(x, last):
+        """[n_seg_p, mps_p, last] -> [G, mps_p, S, last]."""
+        return x.reshape(n_groups, s_rows, mps_p, last).transpose(0, 2, 1, 3)
+
+    mw_k = _to_kernel(mw_p, chunks * 128)
+    off_k = _to_kernel(off_p[..., None], 1)
+    len_k = _to_kernel(len_p[..., None], 1)
+    map_k = fmap.reshape(n_groups, mps_p, 1, 1)
+
+    frames = -(-w_cap // 1024) + 1
+    kernel = functools.partial(
+        _seg_merge_v3_kernel, mb=mb, m_steps=m_steps, chunks=chunks,
+        s_rows=s_rows, frames=frames)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_groups, m_steps),
+        in_specs=[
+            pl.BlockSpec((1, mb, s_rows, chunks * 128),
+                         lambda gi, mi: (gi, mi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mb, s_rows, 1), lambda gi, mi: (gi, mi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mb, s_rows, 1), lambda gi, mi: (gi, mi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mb, 1, 1), lambda gi, mi: (gi, mi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((n_seg_p * frames, 8, 128),
+                                       jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((16, s_rows, 128), jnp.uint32),
+            pltpu.VMEM((8, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(mw_k, off_k, len_k, map_k)
+    out = out.reshape(n_seg_p, frames * 1024)[:n_seg]
+    return out, seg_bits, max_mcu_bits
 
 
 def _compact_kernel(bits_ref, frames_ref, out_ref, chunk_ref, flush_ref,

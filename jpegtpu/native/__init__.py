@@ -127,6 +127,9 @@ def merge_bitstreams(streams: np.ndarray, bitlens: np.ndarray) -> bytes:
 
 
 _CPU_MODES = {"444": 0, "422": 1, "420": 2, "gray": 3}
+# Per-mode MCU geometry (mcu_h, mcu_w, blocks per MCU) for buffer sizing.
+_CPU_GEOM = {"444": (8, 8, 3), "422": (8, 16, 4), "420": (16, 16, 6),
+             "gray": (8, 8, 1)}
 
 
 def cpu_encode_scan(img: np.ndarray, quality: int, subsampling: str,
@@ -153,7 +156,16 @@ def cpu_encode_scan(img: np.ndarray, quality: int, subsampling: str,
     dc_lens = np.ascontiguousarray(dc_lens, np.int32)
     ac_codes = np.ascontiguousarray(ac_codes, np.uint32)
     ac_lens = np.ascontiguousarray(ac_lens, np.int32)
-    cap = img.size * 3 + (1 << 16)
+    # True worst-case output bound: every block at MAX_BITS_PER_BLOCK, all
+    # bytes 0xFF (stuffing doubles them), one RST marker per segment. The
+    # previous img.size*3 heuristic could overflow at quality 100 on
+    # adversarial content, and the C++ -1 would then be misread as "library
+    # unavailable".
+    from jpegtpu.entropy.assemble import MAX_BITS_PER_BLOCK
+    mh, mw, bpm = _CPU_GEOM[subsampling]
+    n_mcu = -(-h // mh) * (-(-w // mw))
+    n_seg = -(-n_mcu // restart) if restart > 0 else 1
+    cap = (n_mcu * bpm * MAX_BITS_PER_BLOCK // 8) * 2 + 2 * n_seg + 64
     out = np.empty(cap, np.uint8)
     n = lib.cpu_encode_scan(
         img.ctypes.data, h, w, _CPU_MODES[subsampling],

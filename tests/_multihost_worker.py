@@ -1,0 +1,50 @@
+"""Worker process for the 2-process multi-host test (test_multihost.py).
+
+Each worker is one 'host': 4 virtual CPU devices, joined into one 8-device
+job via jax.distributed (dist/mesh.py::init_multihost — the DCN control
+plane bring-up that real pods use). Usage:
+    python _multihost_worker.py <port> <process_id> <out.pkl>
+"""
+
+import os
+import pickle
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    port, pid, outpath = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    from jpegtpu.dist import mesh as mesh_lib
+    mesh_lib.init_multihost(coordinator=f"127.0.0.1:{port}",
+                            num_processes=2, process_id=pid)
+    assert jax.process_count() == 2, jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    from jpegtpu.config import EncoderConfig
+    from jpegtpu.dist import shard
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (2, 128, 32, 3), dtype=np.uint8)
+    cfg = EncoderConfig(quality=75, subsampling="420",
+                        restart_interval="rows")
+    # data axis = processes (devices 0-3 are host 0, 4-7 host 1), so each
+    # host owns one image; rows shard within a host.
+    mesh = mesh_lib.make_mesh(2, 4)
+    jpegs = shard.encode_batch_sharded(imgs, cfg, mesh)
+    with open(outpath, "wb") as f:
+        pickle.dump(jpegs, f)
+    jax.distributed.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,6 +54,28 @@ def test_cli_dump_stages(tmp_path, smooth_img):
     assert y.shape == smooth_img.shape[:2]
 
 
+def test_cli_dump_coefficients(tmp_path, smooth_img):
+    """--dump-stages must also emit coefficient-level artifacts (quantized
+    zigzag blocks + per-segment bit counts) that read back consistently."""
+    src = tmp_path / "img.ppm"
+    ppm.write_pnm(src, smooth_img)
+    dump = tmp_path / "stages"
+    rc = main(["encode", str(src), "-o", str(tmp_path / "o.jpg"),
+               "-q", "80", "--dump-stages", str(dump)])
+    assert rc == 0
+    coeffs = np.load(dump / "img_coeffs_zigzag.npy")
+    seg_bits = np.load(dump / "img_seg_bits.npy")
+    from jpegtpu.config import EncoderConfig
+    from jpegtpu.core import ops
+    cfg = EncoderConfig(quality=80, subsampling="420")
+    my, mx = ops.mcu_grid(*smooth_img.shape[:2], "420")
+    assert coeffs.shape == (my * mx, cfg.blocks_per_mcu, 64)
+    assert seg_bits.shape == (my,)          # restart='rows': one per row
+    assert (seg_bits > 0).all()
+    # DC of the first luma block: spatial average maps through DCT+quant
+    assert abs(int(coeffs[0, 0, 0])) < 2048
+
+
 def test_cli_info(capsys):
     assert main(["info"]) == 0
     out = capsys.readouterr().out

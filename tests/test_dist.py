@@ -118,3 +118,18 @@ def test_sharded_requires_row_aligned_restart(mesh24):
     imgs = np.zeros((2, 64, 48, 3), np.uint8)
     with pytest.raises(ValueError, match="restart"):
         shard.encode_batch_sharded(imgs, cfg, mesh24)
+
+
+def test_sharded_pallas_requires_row_aligned_restart(mesh24, monkeypatch):
+    """The Pallas branch must reject a non-dividing restart interval too
+    (on a real TPU mesh it would otherwise silently undercount segments
+    and emit corrupt files)."""
+    monkeypatch.setattr(shard, "_pallas_entropy_ok", lambda cfg_, mps: True)
+    cfg = EncoderConfig(quality=75, subsampling="420", restart_interval=7)
+    imgs = np.zeros((2, 64, 48, 3), np.uint8)  # mx=3, 3 % 7 != 0
+    shard._build_sharded_pallas.cache_clear()
+    try:
+        with pytest.raises(ValueError, match="restart"):
+            shard.encode_batch_sharded(imgs, cfg, mesh24)
+    finally:
+        shard._build_sharded_pallas.cache_clear()

@@ -125,6 +125,64 @@ def test_seg_merge_v2_matches_v1(g):
                                       err_msg=f"segment {s}")
 
 
+@pytest.mark.parametrize("n_seg,g,block_mcus", [
+    (2, 6, None),        # S=2, single m step
+    (1, 6, 2),           # S=1 (restart=0-style), streamed in 2-MCU steps
+    (3, 3, None),        # S=4 with one padded segment row
+    (9, 6, 2),           # S=8, two groups, multi-step streaming
+])
+def test_seg_merge_v3_matches_v1(n_seg, g, block_mcus):
+    """Offset-precomputed sublane-vectorized merge must produce the same
+    segment streams as the v1 serial merge, across group/streaming shapes."""
+    rng = np.random.default_rng(n_seg * 10 + g)
+    restart = 4
+    n_mcu = n_seg * restart
+    n_luma = 4 if g == 6 else 1
+    c = _random_blocks(rng, n_mcu, g, 0.2, -255, 256)
+    cls = np.tile(np.array([0] * n_luma + [1] * (g - n_luma), np.int32),
+                  n_mcu)
+    dcd = np.asarray(scan.dc_diffs(jnp.asarray(c), n_luma, restart))
+    words, blens = ep.block_pack(jnp.asarray(c.reshape(-1, 64)),
+                                 jnp.asarray(cls),
+                                 jnp.asarray(dcd.reshape(-1)))
+    bps, w_cap = restart * g, 2048
+    sw1, sb1 = ep.seg_merge(words, blens, n_seg, bps, w_cap)
+    sw3, sb3, mx = ep.seg_merge_v3(words, blens, n_seg, bps, w_cap,
+                                   blocks_per_mcu=g, block_mcus=block_mcus)
+    np.testing.assert_array_equal(np.asarray(sb1), np.asarray(sb3))
+    assert int(mx) == int(np.asarray(blens).reshape(-1, g).sum(1).max())
+    sw1, sw3 = np.asarray(sw1), np.asarray(sw3)
+    for s in range(n_seg):
+        n = (int(sb1[s]) + 31) // 32
+        np.testing.assert_array_equal(sw3[s, :n], sw1[s, :n],
+                                      err_msg=f"segment {s}")
+
+
+def test_seg_merge_v3_budget_chunks():
+    """Budget-sized MCU capacity (1 chunk instead of 3 for 420) must stay
+    bit-identical when every MCU fits the budget."""
+    rng = np.random.default_rng(42)
+    g, restart, n_seg = 6, 4, 2
+    c = _random_blocks(rng, n_seg * restart, g, 0.1, -63, 64)
+    cls = np.tile(np.array([0, 0, 0, 0, 1, 1], np.int32), n_seg * restart)
+    dcd = np.asarray(scan.dc_diffs(jnp.asarray(c), 4, restart))
+    words, blens = ep.block_pack(jnp.asarray(c.reshape(-1, 64)),
+                                 jnp.asarray(cls),
+                                 jnp.asarray(dcd.reshape(-1)))
+    chunks, cap_bits = ep.mcu_capacity(g, 384)
+    assert chunks == 1
+    bps, w_cap = restart * g, 2048
+    sw1, sb1 = ep.seg_merge(words, blens, n_seg, bps, w_cap)
+    sw3, sb3, mx = ep.seg_merge_v3(words, blens, n_seg, bps, w_cap,
+                                   blocks_per_mcu=g, mcu_chunks=chunks)
+    assert int(mx) <= cap_bits      # precondition for the comparison
+    np.testing.assert_array_equal(np.asarray(sb1), np.asarray(sb3))
+    sw1, sw3 = np.asarray(sw1), np.asarray(sw3)
+    for s in range(n_seg):
+        n = (int(sb1[s]) + 31) // 32
+        np.testing.assert_array_equal(sw3[s, :n], sw1[s, :n])
+
+
 def test_mcu_merge_against_block_oracle():
     """Pre-merged MCU stream == sequentially packed concatenation."""
     rng = np.random.default_rng(3)

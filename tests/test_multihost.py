@@ -1,0 +1,62 @@
+"""Multi-host execution test: two real OS processes, 4 virtual CPU devices
+each, one jax.distributed job spanning both (SURVEY §4 / BASELINE config 5
+evidence; first executable coverage of dist/mesh.py::init_multihost).
+
+The sharded batch encode must produce the same bytes on every process, and
+those bytes must equal the single-process encoder's output.
+"""
+
+import os
+import pickle
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_multihost_two_process_matches_single(tmp_path):
+    port = _free_port()
+    outs = [tmp_path / f"out{i}.pkl" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(port), str(i), str(outs[i])],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)
+    ]
+    results = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost worker timed out")
+        results.append((p.returncode, out, err))
+    for rc, out, err in results:
+        assert rc == 0, f"worker failed:\n{err.decode()[-3000:]}"
+
+    jpegs = [pickle.loads(o.read_bytes()) for o in outs]
+    assert jpegs[0] == jpegs[1], "processes disagree on output bytes"
+
+    # Single-process ground truth (this process: 8 virtual CPU devices).
+    from jpegtpu.config import EncoderConfig
+    from jpegtpu.encoder import Encoder
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, (2, 128, 32, 3), dtype=np.uint8)
+    cfg = EncoderConfig(quality=75, subsampling="420",
+                        restart_interval="rows")
+    enc = Encoder(cfg)
+    singles = [enc.encode(im) for im in imgs]
+    assert jpegs[0] == singles

@@ -43,6 +43,11 @@ class EncoderConfig:
     # Use the Pallas entropy kernels + device bitstream packing (True; TPU
     # only) or the XLA oracle formulation (False / off-TPU).
     device_bitpack: bool = True
+    # Assemble the final entropy scan on device (0xFF00 stuffing + RSTn
+    # splicing in the compaction kernel): the device output IS the scan
+    # and the host only concatenates headers. False falls back to the
+    # native C++ (or numpy) host stuffing path. TPU + device_bitpack only.
+    device_stuff: bool = True
 
     def __post_init__(self):
         if not (1 <= self.quality <= 100):

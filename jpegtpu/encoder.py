@@ -75,9 +75,12 @@ def _device_encode_xla(img, *, quality, subsampling, restart, n_seg,
 
 
 def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
-                          mcus_per_seg, bits_budget, use_fused):
+                          mcus_per_seg, bits_budget, use_fused,
+                          device_stuff=False):
     """Pallas device program -> compacted stream + per-segment bit counts
-    + the max per-MCU bit count (host escalation check, see mcu_capacity)."""
+    + the max per-MCU bit count (host escalation check, see mcu_capacity).
+    With device_stuff, the stream is the COMPLETE stuffed scan with RST
+    markers and a total-byte count is appended to the return."""
     from jpegtpu.kernels import entropy_pack
     n_luma = _n_luma(subsampling)
     coeffs = _pixel_path(img, quality, subsampling, use_fused)
@@ -101,13 +104,18 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
     # Device compaction: only the actual compressed bytes ever cross the
     # host link (which can be slow — e.g. a tunneled chip).
     frames_per_seg = seg_words.shape[1] // 1024
+    if device_stuff:
+        stream, _, total = entropy_pack.compact_segments_stuffed(
+            seg_words, seg_bits, frames_per_seg, restart)
+        return stream, seg_bits, max_mcu_bits, total
     stream = entropy_pack.compact_segments(seg_words, seg_bits,
                                            frames_per_seg)
     return stream, seg_bits, max_mcu_bits
 
 
 def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
-                                n_seg, mcus_per_seg, bits_budget, use_fused):
+                                n_seg, mcus_per_seg, bits_budget, use_fused,
+                                device_stuff=False):
     """Batched device program: [B, H, W, 3] -> one compacted stream + per-
     segment bit counts for the whole batch.
 
@@ -132,6 +140,12 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
         words, blens, bsz * n_seg, bps, w_cap, blocks_per_mcu=b,
         mcu_chunks=mcu_chunks)
     frames_per_seg = seg_words.shape[1] // 1024
+    if device_stuff:
+        stream, img_off, total = entropy_pack.compact_segments_stuffed(
+            seg_words, seg_bits, frames_per_seg, restart,
+            segs_per_image=n_seg)
+        return (stream, seg_bits.reshape(bsz, n_seg), max_mcu_bits,
+                img_off, total)
     stream = entropy_pack.compact_segments(seg_words, seg_bits,
                                            frames_per_seg)
     return stream, seg_bits.reshape(bsz, n_seg), max_mcu_bits
@@ -151,7 +165,7 @@ def _jitted_encode_batch(batch: int, shape: Tuple[int, int],
         subsampling=cfg.subsampling, restart=restart, n_seg=n_seg,
         mcus_per_seg=mcus_per_seg,
         bits_budget=bits_budget or DEFAULT_BITS_BUDGET,
-        use_fused=cfg.use_pallas)
+        use_fused=cfg.use_pallas, device_stuff=cfg.device_stuff)
     return jax.jit(fn), restart, n_seg
 
 
@@ -197,8 +211,9 @@ def _jitted_encode(shape: Tuple[int, int], cfg: EncoderConfig,
             subsampling=cfg.subsampling, restart=restart, n_seg=n_seg,
             mcus_per_seg=mcus_per_seg,
             bits_budget=bits_budget or DEFAULT_BITS_BUDGET,
-            use_fused=cfg.use_pallas)
-        return jax.jit(fn), restart, "stream"
+            use_fused=cfg.use_pallas, device_stuff=cfg.device_stuff)
+        return jax.jit(fn), restart, ("scan" if cfg.device_stuff
+                                      else "stream")
     fn = functools.partial(
         _device_encode_xla, quality=cfg.quality, subsampling=cfg.subsampling,
         restart=restart, n_seg=n_seg, mcus_per_seg=mcus_per_seg,
@@ -216,18 +231,24 @@ class Encoder:
         h, w = img.shape[:2]
         fn, restart, kind = _jitted_encode((h, w), self.config)
         out = fn(jnp.asarray(img))
-        if kind == "stream":
-            stream, seg_bits, max_mcu = out
+        if kind in ("scan", "stream"):
+            stream, seg_bits, max_mcu = out[:3]
             seg_bits_np = np.asarray(seg_bits)     # tiny fetch, also syncs
-            frames = stream.shape[0] // seg_bits.shape[0] // 1024
+            n_seg = seg_bits.shape[0]
+            frames = stream.shape[0] // n_seg // 1024
+            if kind == "scan":                     # stuffed out is 2x+slack
+                frames = (stream.shape[0] // 1024 - 1) // (2 * n_seg)
             cap_bits = (frames - 1) * 1024 * 32    # last frame is slack
             if _budget_overflow(seg_bits_np, int(np.asarray(max_mcu)),
                                 cap_bits, self.config.blocks_per_mcu):
                 # Rare escalation: re-run with the worst-case budget.
                 fn, restart, kind = _jitted_encode(
                     (h, w), self.config, MAX_BITS_PER_BLOCK)
-                stream, seg_bits, max_mcu = fn(jnp.asarray(img))
+                out = fn(jnp.asarray(img))
+                stream, seg_bits = out[0], out[1]
                 seg_bits_np = np.asarray(seg_bits)
+            if kind == "scan":
+                return ("scan", stream, int(np.asarray(out[3])), restart)
             return ("stream", stream, seg_bits_np, restart)
         stuffed, nbytes, _ = out
         return ("stuffed", stuffed, np.asarray(nbytes), restart)
@@ -248,7 +269,17 @@ class Encoder:
         elif img.ndim != 3 or img.shape[2] != 3:
             raise ValueError(f"expected [H, W, 3] RGB, got {img.shape}")
         kind, payload, meta, restart = self._run_device(img)
-        if kind == "stream":
+        if kind == "scan":
+            # Device output IS the final scan (stuffed + RST markers);
+            # fetch exactly the compressed bytes and we are done.
+            total = meta
+            n_words = -(-total // 4)
+            n_fetch = min(
+                -(-n_words // self._FETCH_GRANULE) * self._FETCH_GRANULE,
+                payload.shape[0])
+            raw = np.asarray(payload[:n_fetch])
+            scan_bytes = raw.view(np.uint8)[:total].tobytes()
+        elif kind == "stream":
             nbytes = (meta.astype(np.int64) + 7) // 8
             total = int(nbytes.sum())
             n_words = -(-total // 4)
@@ -326,21 +357,36 @@ def encode_batch(imgs: Sequence[np.ndarray], **kw) -> List[bytes]:
 def _encode_batch_fused(imgs: np.ndarray, cfg: EncoderConfig) -> List[bytes]:
     bsz, h, w = imgs.shape[:3]
     fn, restart, n_seg = _jitted_encode_batch(bsz, (h, w), cfg)
-    stream, seg_bits, max_mcu = fn(jnp.asarray(imgs))
+    out_dev = fn(jnp.asarray(imgs))
+    stream, seg_bits, max_mcu = out_dev[:3]
     seg_bits_np = np.asarray(seg_bits)
     frames = stream.shape[0] // (bsz * n_seg) // 1024
+    if cfg.device_stuff:
+        frames = (stream.shape[0] // 1024 - 1) // (2 * bsz * n_seg)
     cap_bits = (frames - 1) * 1024 * 32
     if _budget_overflow(seg_bits_np, int(np.asarray(max_mcu)), cap_bits,
                         cfg.blocks_per_mcu):
         fn, restart, n_seg = _jitted_encode_batch(
             bsz, (h, w), cfg, MAX_BITS_PER_BLOCK)
-        stream, seg_bits, max_mcu = fn(jnp.asarray(imgs))
+        out_dev = fn(jnp.asarray(imgs))
+        stream, seg_bits = out_dev[0], out_dev[1]
         seg_bits_np = np.asarray(seg_bits)
+
+    gran = Encoder._FETCH_GRANULE
+    if cfg.device_stuff:
+        img_off = np.asarray(out_dev[3])
+        total = int(np.asarray(out_dev[4]))
+        n_words = -(-total // 4)
+        n_fetch = min(-(-n_words // gran) * gran, stream.shape[0])
+        raw = np.asarray(stream[:n_fetch]).view(np.uint8)[:total]
+        bounds = list(img_off) + [total]
+        return [jfif.wrap_jpeg(h, w, cfg.quality, cfg.subsampling, restart,
+                               raw[bounds[i]:bounds[i + 1]].tobytes())
+                for i in range(bsz)]
 
     nbytes = (seg_bits_np.astype(np.int64) + 7) // 8   # [B, n_seg]
     total = int(nbytes.sum())
     n_words = -(-total // 4)
-    gran = Encoder._FETCH_GRANULE
     n_fetch = min(-(-n_words // gran) * gran, stream.shape[0])
     raw = np.asarray(stream[:n_fetch]).view(np.uint8)[:total]
 

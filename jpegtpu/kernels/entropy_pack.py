@@ -239,16 +239,28 @@ def _place_pair(v_hi, v_lo, wt, k, half):
     pos_lo = jnp.where(k == 0, 0, pltpu.roll(pos, 1, axis=1))
 
     def place(v, pos_v):
-        # Prefix sums in int32 (wrapping). Bits landing in one output word
-        # are disjoint, so the true per-word sum fits u32 and the mod-2^32
-        # difference of prefix sums is exact — no 16-bit split needed.
-        ps = _cumlog64(pltpu.bitcast(v, jnp.int32), jnp.add, 0, k)
-        g = jnp.take_along_axis(ps, jnp.maximum(pos_v - 1, 0) + base,
-                                axis=1)
-        g = jnp.where(pos_v > 0, g, 0)
-        prev = pltpu.roll(g, 1, axis=1)
-        cum = g - jnp.where(k == 0, 0, prev)
-        return pltpu.bitcast(cum, jnp.uint32)
+        # 16-bit halves accumulated through f32 prefix sums. An int32
+        # formulation is semantically equivalent (mod-2^32 prefix
+        # differences are exact for disjoint bits) and passes interpret
+        # tests, but blows Mosaic compile time up ~15x (seconds -> ~8 min
+        # for block_pack) on this toolchain — keep the f32 split.
+        vh = pltpu.bitcast(jnp.right_shift(v, 16),
+                           jnp.int32).astype(jnp.float32)
+        vl = pltpu.bitcast(v & 0xFFFF, jnp.int32).astype(jnp.float32)
+
+        def ps_at(ps):
+            g = jnp.take_along_axis(pltpu.bitcast(ps, jnp.int32),
+                                    jnp.maximum(pos_v - 1, 0) + base,
+                                    axis=1)
+            g = pltpu.bitcast(g, jnp.float32)
+            g = jnp.where(pos_v > 0, g, 0.0)
+            prev = pltpu.roll(g, 1, axis=1)
+            cum = g - jnp.where(k == 0, 0.0, prev)
+            return pltpu.bitcast(cum.astype(jnp.int32), jnp.uint32)
+
+        psh = _cumlog64(vh, jnp.add, 0.0, k)
+        psl = _cumlog64(vl, jnp.add, 0.0, k)
+        return jnp.left_shift(ps_at(psh), 16) | ps_at(psl)
 
     return place(v_hi, pos) + place(v_lo, pos_lo)
 
@@ -981,6 +993,322 @@ def compact_segments(seg_words: jax.Array, seg_bits: jax.Array,
     )(seg_bits.astype(jnp.int32).reshape(1, n_seg),
       seg_words.reshape(n_seg, f, 8, 128))
     return out.reshape(-1)
+
+
+def _stuff_precompute(seg_words: jax.Array, seg_bits: jax.Array,
+                      frames_per_seg: int, mnum: np.ndarray):
+    """XLA side of the device-stuffing pass: every output byte offset is
+    computable from the merged segment words alone (FF counts per 4 KB
+    chunk + 2-byte RST markers between segments), so the Pallas kernel
+    carries no data-dependent reductions — it just reads scalars.
+    mnum[s] is the RST marker's second byte after segment s (0 = none)."""
+    n_seg = seg_words.shape[0]
+    f = frames_per_seg
+    fr = seg_words.reshape(n_seg, f, 8, 128)
+    nbytes = ((seg_bits.astype(jnp.int32) + 7) >> 3)           # [n_seg]
+    widx = jnp.arange(f * 1024, dtype=jnp.int32).reshape(1, f, 8, 128)
+    ffc = jnp.zeros((n_seg, f), jnp.int32)
+    for k, sh in enumerate((24, 16, 8, 0)):
+        byte = jnp.right_shift(fr, sh) & 0xFF
+        valid = (widx * 4 + k) < nbytes[:, None, None, None]
+        ffc = ffc + jnp.sum(((byte == 0xFF) & valid).astype(jnp.int32),
+                            axis=(2, 3))
+    in_chunk = jnp.clip(nbytes[:, None] - jnp.arange(f)[None, :] * 4096,
+                        0, 4096).astype(jnp.int32)
+    out_chunk = in_chunk + ffc                                  # stuffed len
+    marker = 2 * (jnp.asarray(mnum) > 0)
+    seg_len = jnp.sum(out_chunk, axis=1) + marker
+    seg_start = jnp.cumsum(seg_len) - seg_len
+    chunk_off = (seg_start[:, None] +
+                 jnp.cumsum(out_chunk, axis=1) - out_chunk)
+    seg_end = seg_start + jnp.sum(out_chunk, axis=1)            # marker pos
+    total = seg_start[-1] + seg_len[-1]
+    nchunks = -(-nbytes // 4096)
+    return chunk_off, out_chunk, in_chunk, seg_end, nchunks, seg_start, total
+
+
+def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
+                          mnum_ref, frames_ref, out_ref, chunk_ref,
+                          flush_ref, sem_in, sem_out,
+                          *, n_seg: int, f_per_seg: int, out_frames: int):
+    """Kernel D': trim + 0xFF00 byte-stuff + RST splice in one pass.
+
+    The device output IS the final entropy scan — the host does one
+    memcpy and concatenates headers (no C++ stuffing on the hot path;
+    the reference never had a scan at all, SURVEY §2.10/§2.11).
+
+    Serial walk over 4 KB chunks, like _compact_kernel, but each chunk is
+    byte-expanded in registers before placement: per-word FF flags give
+    intra-word expanded positions; a log-step scan gives per-word output
+    byte offsets; per-row monotone-target placement (rank search +
+    prefix-sum differences, as _place_pair) materializes three 128-word
+    output planes per sublane row; planes land in a [32, 128] modular
+    register window (4 output frames) via rotate + two-row masked OR.
+    All cursor positions come from XLA-precomputed scalars (_stuff_
+    precompute). Stuffed 0x00s materialize from the zero window.
+    """
+    lane8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    su8 = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    su32 = jax.lax.broadcasted_iota(jnp.int32, (32, 1), 0)
+    gw = su8 * 128 + lane8                         # word index in chunk
+
+    def bswap(w):
+        return (jnp.right_shift(w, 24) |
+                (jnp.right_shift(w, 8) & jnp.uint32(0xFF00)) |
+                (jnp.left_shift(w & jnp.uint32(0xFF00), 8)) |
+                jnp.left_shift(w, 24))
+
+    def place_rows(win, planes8, t_vec):
+        """OR row r of planes8 [8,128] into the modular window at absolute
+        out word t_vec[r] ([8,1]): one batched per-row lane rotation
+        (Mosaic's native gather needs >=8 sublanes — [1,128] gathers fail
+        to lower), then per-row two-window-row masked ORs."""
+        m = t_vec & 127
+        idx = (lane8 - m) & 127
+        rot = pltpu.bitcast(
+            jnp.take_along_axis(pltpu.bitcast(planes8, jnp.int32), idx,
+                                axis=1), jnp.uint32)
+        hi = jnp.where(lane8 >= m, rot, 0)
+        lo = jnp.where(lane8 < m, rot, 0)
+        wr = (t_vec >> 7) & 31                      # [8,1]
+        for r in range(8):
+            win = win | jnp.where(su32 == wr[r:r + 1], hi[r:r + 1, :], 0)
+            win = win | jnp.where(su32 == ((wr[r:r + 1] + 1) & 31),
+                                  lo[r:r + 1, :], 0)
+        return win
+
+    def flush_frame(win, fi):
+        """Stage frame fi's 8 window rows (static parity slices) + DMA."""
+        for par in range(4):
+            @pl.when((fi & 3) == par)
+            def _(par=par):
+                flush_ref[...] = bswap(win[par * 8:(par + 1) * 8, :])
+        cp = pltpu.make_async_copy(
+            flush_ref, out_ref.at[jnp.minimum(fi, out_frames - 1)],
+            sem_out)
+        cp.start()
+        cp.wait()
+
+    def flush_and_zero(win, cur, end):
+        """DMA out every frame completed in [cur, end); zero its rows.
+        Flushed rows are disjoint from each other and untouched by the
+        zeroing of other frames, so all flushes read the pre-loop window."""
+        win0 = win
+        f0 = cur >> 12
+        f1 = end >> 12
+        for t in range(3):                          # chunk expands < 3 frames
+            fi = f0 + t
+
+            @pl.when(fi < f1)
+            def _(fi=fi):
+                flush_frame(win0, fi)
+            zmask = (fi < f1) & ((su32 >> 3) == (fi & 3))
+            win = jnp.where(zmask, 0, win)
+        return win
+
+    def chunk_body(i, state):
+        s, win = state
+        cp = pltpu.make_async_copy(frames_ref.at[s, i], chunk_ref, sem_in)
+        cp.start()
+        cp.wait()
+        ch = chunk_ref[...]                         # [8,128] u32 BE
+        cur = off_ref[0, s * f_per_seg + i, 0]
+        rem = innb_ref[0, s * f_per_seg + i, 0]
+        slen = slen_ref[0, s * f_per_seg + i, 0]
+
+        b = [jnp.right_shift(ch, sh) & 0xFF for sh in (24, 16, 8, 0)]
+        valid = [((4 * gw + k) < rem) for k in range(4)]
+        f = [(b[k] == 0xFF) & valid[k] for k in range(4)]
+        e = [jnp.where(valid[k], 1 + f[k].astype(jnp.int32), 0)
+             for k in range(4)]
+        p1 = e[0]
+        p2 = p1 + e[1]
+        p3 = p2 + e[2]
+        wexp = p3 + e[3]
+
+        def at_pos(bk, vk, pk):
+            lo_sh = ((3 - pk) & 3) * 8
+            hi_sh = ((7 - pk) & 3) * 8
+            v0c = jnp.where(vk & (pk <= 3),
+                            jnp.left_shift(bk, lo_sh.astype(jnp.uint32)), 0)
+            v1c = jnp.where(vk & (pk >= 4),
+                            jnp.left_shift(bk, hi_sh.astype(jnp.uint32)), 0)
+            return v0c, v1c
+
+        v0 = jnp.where(valid[0], jnp.left_shift(b[0], 24), jnp.uint32(0))
+        v1 = jnp.zeros((8, 128), jnp.uint32)
+        for k, pk in ((1, p1), (2, p2), (3, p3)):
+            c0, c1 = at_pos(b[k], valid[k], pk)
+            v0 = v0 | c0
+            v1 = v1 | c1
+
+        incl = _cumlog(wexp, jnp.add, 0, axis=1)
+        row_tot = incl[:, 127:128]
+        rincl = _cumlog(row_tot, jnp.add, 0, axis=0)
+        row_base = rincl - row_tot
+        o_glob = cur + row_base + incl - wexp        # [8,128] out byte
+        phi = ((o_glob & 3) * 8).astype(jnp.uint32)
+        t_abs = o_glob >> 2
+        w0 = jnp.right_shift(v0, phi)
+        w1 = (jnp.left_shift(jnp.left_shift(v0, 1), (31 - phi) & 31) |
+              jnp.right_shift(v1, phi))
+        w2 = jnp.left_shift(jnp.left_shift(v1, 1), (31 - phi) & 31)
+        t_base = (cur + row_base) >> 2               # [8,1]
+        t_rel = t_abs - t_base                       # in [0, 258]
+
+        # Value prefix sums as f32 16-bit halves: an i32 formulation is
+        # equivalent but explodes Mosaic compile time (see _place_pair).
+        def half_ps(w):
+            wh = pltpu.bitcast(jnp.right_shift(w, 16),
+                               jnp.int32).astype(jnp.float32)
+            wl = pltpu.bitcast(w & 0xFFFF, jnp.int32).astype(jnp.float32)
+            return (_cumlog(wh, jnp.add, 0.0, axis=1),
+                    _cumlog(wl, jnp.add, 0.0, axis=1))
+
+        ps = [half_ps(w) for w in (w0, w1, w2)]
+
+        def rank_at(q):
+            """#lanes i with t_rel[i] <= q, per row (q [8,128])."""
+            pos = jnp.zeros((8, 128), jnp.int32)
+            for step in (128, 64, 32, 16, 8, 4, 2, 1):
+                cand = pos + step
+                probe = jnp.take_along_axis(
+                    t_rel, jnp.minimum(cand, 128) - 1, axis=1)
+                pos = jnp.where((cand <= 128) & (probe <= q), cand, pos)
+            return pos
+
+        def ps_at(psk, r):
+            g = jnp.take_along_axis(pltpu.bitcast(psk, jnp.int32),
+                                    jnp.maximum(r - 1, 0), axis=1)
+            g = pltpu.bitcast(g, jnp.float32)
+            return jnp.where(r > 0, g, 0.0)
+
+        # Per plane P, output word w needs ranks at queries q, q-1, q-2,
+        # q-3 (value planes w0/w1/w2 target t, t+1, t+2). Lane rolls give
+        # q-1..q-3 within the plane; the first lanes take the previous
+        # plane's tail ranks (rank(-k) = 0 for plane 0 since t_rel >= 0).
+        out_planes = []
+        prev_r = [jnp.zeros((8, 1), jnp.int32)] * 3  # ranks at 128p-1,-2,-3
+        for p in range(3):
+            q = lane8 + 128 * p
+            r0 = rank_at(q)
+            r1 = jnp.where(lane8 == 0, prev_r[0], pltpu.roll(r0, 1, axis=1))
+            r2 = jnp.where(lane8 == 0, prev_r[1],
+                           jnp.where(lane8 == 1, prev_r[0],
+                                     pltpu.roll(r0, 2, axis=1)))
+            r3 = jnp.where(lane8 == 0, prev_r[2],
+                           jnp.where(lane8 == 1, prev_r[1],
+                                     jnp.where(lane8 == 2, prev_r[0],
+                                               pltpu.roll(r0, 3, axis=1))))
+            hi = (ps_at(ps[0][0], r0) - ps_at(ps[0][0], r1) +
+                  ps_at(ps[1][0], r1) - ps_at(ps[1][0], r2) +
+                  ps_at(ps[2][0], r2) - ps_at(ps[2][0], r3))
+            lo = (ps_at(ps[0][1], r0) - ps_at(ps[0][1], r1) +
+                  ps_at(ps[1][1], r1) - ps_at(ps[1][1], r2) +
+                  ps_at(ps[2][1], r2) - ps_at(ps[2][1], r3))
+            outp = jnp.left_shift(
+                pltpu.bitcast(hi.astype(jnp.int32), jnp.uint32), 16) | \
+                pltpu.bitcast(lo.astype(jnp.int32), jnp.uint32)
+            out_planes.append(outp)
+            prev_r = [
+                jnp.take_along_axis(r0, jnp.full_like(lane8, 127 - k),
+                                    axis=1)[:, 0:1]
+                for k in range(3)]
+
+        for p in range(3):
+            win = place_rows(win, out_planes[p], t_base + 128 * p)
+
+        win = flush_and_zero(win, cur, cur + slen)
+        return s, win
+
+    def seg_body(s, win):
+        nch = nch_ref[0, s, 0]
+        _, win = jax.lax.fori_loop(0, nch, chunk_body, (s, win))
+        # RSTn marker (T.81 B.2.1.2); mnum holds the precomputed second
+        # byte (0xD0+n within the owning image) or 0 for no marker.
+        # Value-level placement masked by mnum so it stays fori-friendly.
+        send = send_ref[0, s, 0]
+        mnum = mnum_ref[0, s, 0]
+        mk = jnp.where(mnum > 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+        m32 = (jnp.uint32(0xFF000000) |
+               jnp.left_shift(mnum.astype(jnp.uint32), 16)) & mk
+        phi = ((send & 3) * 8).astype(jnp.uint32)
+        w0 = jnp.right_shift(m32, phi)
+        w1 = jnp.left_shift(jnp.left_shift(m32, 1), (31 - phi) & 31)
+        # marker payload in row 0 only; rows 1-7 place zeros (no-ops)
+        plane = jnp.where((su8 == 0) & (lane8 == 0), w0,
+                          jnp.where((su8 == 0) & (lane8 == 1), w1,
+                                    jnp.uint32(0)))
+        win = place_rows(win, plane,
+                         jnp.broadcast_to(send >> 2, (8, 1)))
+        win = flush_and_zero(win, send,
+                             send + jnp.where(mnum > 0, 2, 0))
+        return win
+
+    zero_win = jnp.zeros((32, 128), jnp.uint32)
+    win = jax.lax.fori_loop(0, n_seg, seg_body, zero_win)
+
+    # Final partial frame: total scan bytes = seg_end of the last segment
+    # (no marker after it).
+    total = send_ref[0, n_seg - 1, 0]
+    flush_frame(win, total >> 12)
+
+
+def compact_segments_stuffed(seg_words: jax.Array, seg_bits: jax.Array,
+                             frames_per_seg: int, restart: int,
+                             segs_per_image: int | None = None):
+    """[n_seg, F*1024] u32 + [n_seg] bits -> (scan stream u32 (byte-swapped:
+    raw final scan bytes in order), image_offsets [n_images] i32,
+    total_scan_bytes i32 scalar).
+
+    The stream holds the COMPLETE entropy-coded scan(s): segments trimmed,
+    0xFF00-stuffed and joined with RSTn markers on device. Host work is a
+    fetch of total_scan_bytes bytes plus header concatenation. With
+    segs_per_image set (batched encode), markers and RST numbering reset
+    at image boundaries and image_offsets gives each image's byte start."""
+    n_seg = seg_words.shape[0]
+    f = frames_per_seg
+    spi = segs_per_image or n_seg
+    assert n_seg % spi == 0
+    within = np.arange(n_seg, dtype=np.int32) % spi
+    mnum = np.where((restart > 0) & (within != spi - 1),
+                    0xD0 + (within % 8), 0).astype(np.int32)
+    chunk_off, out_chunk, in_chunk, seg_end, nchunks, seg_start, total = \
+        _stuff_precompute(seg_words, seg_bits, f, mnum)
+    img_off = seg_start[::spi]
+    out_frames = n_seg * f * 2 + 1
+    kernel = functools.partial(
+        _compact_stuff_kernel, n_seg=n_seg, f_per_seg=f,
+        out_frames=out_frames)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # chunk_off
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # out_chunk (stuffed)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # in_chunk
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # seg_end
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # nchunks
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # marker bytes
+            pl.BlockSpec(memory_space=pltpu.ANY),    # frames
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((out_frames, 8, 128), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((8, 128), jnp.uint32),
+            pltpu.VMEM((8, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(chunk_off.reshape(1, n_seg * f, 1),
+      out_chunk.reshape(1, n_seg * f, 1),
+      in_chunk.reshape(1, n_seg * f, 1),
+      seg_end.reshape(1, n_seg, 1),
+      nchunks.reshape(1, n_seg, 1),
+      jnp.asarray(mnum).reshape(1, n_seg, 1),
+      seg_words.reshape(n_seg, f, 8, 128))
+    return out.reshape(-1), img_off, total
 
 
 def _seg_merge_kernel(words_ref, lens_ref, out_ref, bits_ref, acc_ref,

@@ -215,6 +215,78 @@ def test_mcu_merge_against_block_oracle():
                                       err_msg=f"mcu {i}")
 
 
+def _stuff_oracle(seg_bytes_list, restart):
+    """Reference scan assembly: 0xFF00 stuffing + RSTn splicing."""
+    parts = []
+    for s, raw in enumerate(seg_bytes_list):
+        out = bytearray()
+        for b in raw:
+            out.append(b)
+            if b == 0xFF:
+                out.append(0)
+        parts.append(bytes(out))
+        if restart > 0 and s != len(seg_bytes_list) - 1:
+            parts.append(bytes((0xFF, 0xD0 + (s % 8))))
+    return b"".join(parts)
+
+
+@pytest.mark.parametrize("restart", [0, 4])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_compact_stuffed_matches_oracle(restart, seed):
+    """Device-side stuffing+RST splicing must reproduce the host scan
+    assembly byte for byte, including FF-heavy content and masked tails."""
+    rng = np.random.default_rng(seed)
+    n_seg, frames = 3, 2
+    # Build the big-endian byte stream first (seg streams are BE words:
+    # byte 0 of the scan is the MSB of word 0), with dense 0xFF content.
+    by = rng.integers(0, 256, (n_seg, frames * 4096), dtype=np.uint8)
+    by[rng.random(by.shape) < 0.25] = 0xFF
+    if restart == 0:
+        n_seg = 1
+        by = by[:1]
+    seg_bits = np.array([4097 * 8 - 3, 5000 * 8, 40][:n_seg], np.int32)
+    nbytes = (seg_bits + 7) // 8
+    by[0, nbytes[0] - 1] = 0xFF               # last byte FF -> stuffed
+    b4 = by.reshape(n_seg, -1, 4).astype(np.uint32)
+    words = ((b4[..., 0] << 24) | (b4[..., 1] << 16) |
+             (b4[..., 2] << 8) | b4[..., 3])
+
+    expected = _stuff_oracle([by[s, :nbytes[s]] for s in range(n_seg)],
+                             restart)
+
+    stream, img_off, total = ep.compact_segments_stuffed(
+        jnp.asarray(words), jnp.asarray(seg_bits), frames, restart)
+    raw = np.asarray(stream).view(np.uint8)[:int(total)]
+    assert int(total) == len(expected)
+    assert raw.tobytes() == expected
+
+
+def test_compact_stuffed_batched_images():
+    """With segs_per_image, RST markers and numbering reset per image and
+    image_offsets slice the stream into independent scans."""
+    rng = np.random.default_rng(7)
+    n_seg, frames, spi = 4, 1, 2
+    by = rng.integers(0, 256, (n_seg, frames * 4096), dtype=np.uint8)
+    by[rng.random(by.shape) < 0.3] = 0xFF
+    seg_bits = np.array([100 * 8, 33 * 8, 4000 * 8, 7 * 8], np.int32)
+    nbytes = (seg_bits + 7) // 8
+    b4 = by.reshape(n_seg, -1, 4).astype(np.uint32)
+    words = ((b4[..., 0] << 24) | (b4[..., 1] << 16) |
+             (b4[..., 2] << 8) | b4[..., 3])
+
+    expected_imgs = [
+        _stuff_oracle([by[0, :nbytes[0]], by[1, :nbytes[1]]], 4),
+        _stuff_oracle([by[2, :nbytes[2]], by[3, :nbytes[3]]], 4),
+    ]
+    stream, img_off, total = ep.compact_segments_stuffed(
+        jnp.asarray(words), jnp.asarray(seg_bits), frames, 4,
+        segs_per_image=spi)
+    raw = np.asarray(stream).view(np.uint8)[:int(total)].tobytes()
+    off = np.asarray(img_off)
+    assert raw[off[0]:off[1]] == expected_imgs[0]
+    assert raw[off[1]:] == expected_imgs[1]
+
+
 @pytest.mark.parametrize("subsampling", ["444", "422", "420"])
 @pytest.mark.parametrize("quality", [35, 90])
 def test_fused_dctq_matches_ops(subsampling, quality):

@@ -770,9 +770,10 @@ def seg_merge_v3(words: jax.Array, lens: jax.Array, n_seg: int, bps: int,
     off = csum - ml
     seg_bits = csum[:, -1]
 
-    s_rows = 1
-    while s_rows < min(n_seg, 8):
-        s_rows *= 2
+    # Always 8 sublane rows: Mosaic's native lane gather (the per-row
+    # rotation) fails to lower for <8-sublane operands, so small/single
+    # segment counts pad up (padded rows are zero-length no-ops).
+    s_rows = 8
     n_groups = -(-n_seg // s_rows)
     n_seg_p = n_groups * s_rows
 

@@ -51,7 +51,7 @@ from jpegtpu.entropy import huffman_tables as ht
 # Per-block word capacity: 63 AC * 26 bits + DC 22 bits = 1660 bits -> 52
 # words; +1 spill word, padded to 56 for layout friendliness.
 BLOCK_WORDS = 56
-_TILE = 128  # two-block rows per grid step in kernel B
+_TILE = 256  # two-block rows per grid step in kernel B
 
 
 def _interpret() -> bool:
@@ -93,10 +93,11 @@ def _cumlog(x, op, identity, axis=1):
 
 
 def _size_category(av):
-    s = jnp.zeros(av.shape, jnp.int32)
-    for i in range(12):
-        s = s + (av >= (1 << i)).astype(jnp.int32)
-    return s
+    """bit-length of av (0 for 0): float32 exponent extraction — exact for
+    av < 2^24, ~5 vector ops instead of 12 compare+adds."""
+    f = av.astype(jnp.float32)
+    e = jnp.right_shift(pltpu.bitcast(f, jnp.int32), 23) & 0xFF
+    return jnp.where(av > 0, e - 126, 0)
 
 
 def _block_pack_kernel(coeffs_ref, cls_ref, dcdiff_ref, ac_tbl_ref,
@@ -185,7 +186,9 @@ def _block_pack_kernel(coeffs_ref, cls_ref, dcdiff_ref, ac_tbl_ref,
     bits = jnp.where(k == 0, d_bits, bits)
 
     # --- per-block packing into BLOCK_WORDS big-endian u32 words ---
-    csum = _cumlog64(lens, jnp.add, 0, k)               # per-half cumsum
+    # per-half cumsum on the MXU (lens <= ~1700 per half: f32-exact)
+    csum = _prefix64_mm(lens.astype(jnp.float32),
+                        _halfprefix_tril()).astype(jnp.int32)
     offs = csum - lens                                  # exclusive
     total = jnp.concatenate([csum[:, 63:64], csum[:, 127:128]], axis=1)
 
@@ -258,8 +261,9 @@ def _place_pair(v_hi, v_lo, wt, k, half):
             cum = g - jnp.where(k == 0, 0.0, prev)
             return pltpu.bitcast(cum.astype(jnp.int32), jnp.uint32)
 
-        psh = _cumlog64(vh, jnp.add, 0.0, k)
-        psl = _cumlog64(vl, jnp.add, 0.0, k)
+        bd = _halfprefix_tril()
+        psh = _prefix64_mm(vh, bd)
+        psl = _prefix64_mm(vl, bd)
         return jnp.left_shift(ps_at(psh), 16) | ps_at(psl)
 
     return place(v_hi, pos) + place(v_lo, pos_lo)
@@ -276,6 +280,28 @@ def _cumlog64(x, op, identity, k):
         y = op(y, rolled)
         step *= 2
     return y
+
+
+def _halfprefix_tril():
+    """[128,128] f32 block-diagonal lower-triangular: x @ this = inclusive
+    per-64-half prefix sum — one MXU matmul instead of a 6-step VPU scan
+    (the f32 sums are exact below 2^24, which every caller satisfies)."""
+    i = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    return ((i <= j) & ((i >> 6) == (j >> 6))).astype(jnp.float32)
+
+
+def _prefix64_mm(x_f32, bd):
+    """Per-half inclusive prefix along 128 lanes on the MXU.
+
+    Precision.HIGHEST is required for exactness: the default bf16 MXU
+    pass truncates >8-bit-mantissa integer inputs (the 16-bit value
+    halves), which corrupted real-TPU output while interpret mode stayed
+    bit-exact. HIGHEST's hi+lo bf16 decomposition is exact for 16-bit
+    integers against a 0/1 matrix."""
+    return jax.lax.dot_general(x_f32, bd, (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -392,7 +418,7 @@ def mcu_merge(words: jax.Array, lens: jax.Array, g: int,
     nm = n // g
     if chunks is None:
         chunks = -(-(g * 52 + 2) // 128)
-    tile = 128
+    tile = 256
     pad = (-nm) % tile
     if pad:
         words = jnp.concatenate(
@@ -1008,12 +1034,22 @@ def _stuff_precompute(seg_words: jax.Array, seg_bits: jax.Array,
     fr = seg_words.reshape(n_seg, f, 8, 128)
     nbytes = ((seg_bits.astype(jnp.int32) + 7) >> 3)           # [n_seg]
     widx = jnp.arange(f * 1024, dtype=jnp.int32).reshape(1, f, 8, 128)
-    ffc = jnp.zeros((n_seg, f), jnp.int32)
-    for k, sh in enumerate((24, 16, 8, 0)):
-        byte = jnp.right_shift(fr, sh) & 0xFF
-        valid = (widx * 4 + k) < nbytes[:, None, None, None]
-        ffc = ffc + jnp.sum(((byte == 0xFF) & valid).astype(jnp.int32),
-                            axis=(2, 3))
+    # 0xFF count per word, word-parallel: zero the invalid byte tail
+    # (big-endian: byte 0 is the MSB), nibble-fold each byte's AND-reduce,
+    # then a multiply-based horizontal byte sum — one fused pass over the
+    # words instead of four per-byte passes.
+    r = jnp.clip(nbytes[:, None, None, None] - widx * 4, 0, 4)
+    keep = jnp.where(
+        r >= 4, jnp.uint32(0xFFFFFFFF),
+        ~jnp.right_shift(jnp.uint32(0xFFFFFFFF),
+                         ((r * 8) & 31).astype(jnp.uint32)))
+    keep = jnp.where(r > 0, keep, jnp.uint32(0))
+    w = fr & keep
+    x1 = w & jnp.right_shift(w, 4) & jnp.uint32(0x0F0F0F0F)
+    x2 = x1 & jnp.right_shift(x1, 2) & jnp.uint32(0x03030303)
+    x3 = x2 & jnp.right_shift(x2, 1) & jnp.uint32(0x01010101)
+    cnt = jnp.right_shift(x3 * jnp.uint32(0x01010101), 24)
+    ffc = jnp.sum(cnt.astype(jnp.int32), axis=(2, 3))
     in_chunk = jnp.clip(nbytes[:, None] - jnp.arange(f)[None, :] * 4096,
                         0, 4096).astype(jnp.int32)
     out_chunk = in_chunk + ffc                                  # stuffed len
@@ -1107,12 +1143,21 @@ def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
             win = jnp.where(zmask, 0, win)
         return win
 
+    def _in_copy(s, i, slot):
+        return pltpu.make_async_copy(frames_ref.at[s, i],
+                                     chunk_ref.at[slot], sem_in.at[slot])
+
     def chunk_body(i, state):
-        s, win = state
-        cp = pltpu.make_async_copy(frames_ref.at[s, i], chunk_ref, sem_in)
-        cp.start()
-        cp.wait()
-        ch = chunk_ref[...]                         # [8,128] u32 BE
+        s, win, nch = state
+        # double-buffered input: wait chunk i (started by the previous
+        # iteration / segment prologue), prefetch chunk i+1
+        slot = i & 1
+        _in_copy(s, i, slot).wait()
+
+        @pl.when(i + 1 < nch)
+        def _():
+            _in_copy(s, i + 1, 1 - slot).start()
+        ch = chunk_ref[slot]                        # [8,128] u32 BE
         cur = off_ref[0, s * f_per_seg + i, 0]
         rem = innb_ref[0, s * f_per_seg + i, 0]
         slen = slen_ref[0, s * f_per_seg + i, 0]
@@ -1220,11 +1265,15 @@ def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
             win = place_rows(win, out_planes[p], t_base + 128 * p)
 
         win = flush_and_zero(win, cur, cur + slen)
-        return s, win
+        return s, win, nch
 
     def seg_body(s, win):
         nch = nch_ref[0, s, 0]
-        _, win = jax.lax.fori_loop(0, nch, chunk_body, (s, win))
+
+        @pl.when(nch > 0)
+        def _():
+            _in_copy(s, 0, 0).start()
+        _, win, _ = jax.lax.fori_loop(0, nch, chunk_body, (s, win, nch))
         # RSTn marker (T.81 B.2.1.2); mnum holds the precomputed second
         # byte (0xD0+n within the owning image) or 0 for no marker.
         # Value-level placement masked by mnum so it stays fori-friendly.
@@ -1295,9 +1344,9 @@ def compact_segments_stuffed(seg_words: jax.Array, seg_bits: jax.Array,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((out_frames, 8, 128), jnp.uint32),
         scratch_shapes=[
+            pltpu.VMEM((2, 8, 128), jnp.uint32),     # double-buffered in
             pltpu.VMEM((8, 128), jnp.uint32),
-            pltpu.VMEM((8, 128), jnp.uint32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret(),

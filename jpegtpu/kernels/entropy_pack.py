@@ -372,20 +372,23 @@ def _mcu_merge_kernel(words_ref, lens_ref, mwords_ref, mlens_ref,
                       *, g: int, chunks: int):
     """Vectorized pre-merge: G consecutive block streams -> one MCU stream.
 
-    words [T, G, BLOCK_WORDS], lens [T, G, 1] -> mwords [T, chunks*128],
-    mlens [T, 1]. Placement at the MCU scale is a per-row lane gather: for
-    output chunk c, word lane l takes shifted_g[l + 128c - q_g] — no
-    scatter, no serial work.
+    words [G, T, BLOCK_WORDS], lens [G, T, 1] -> mwords [T, chunks*128],
+    mlens [T, 1]. G leads so every slice is a natively-tiled [T, W] array
+    (a [T, G, W] layout tiles on the degenerate (G, W) pair and forces a
+    relayout per slice — measured ~6x slower). Placement at the MCU scale
+    is a per-row lane gather: for output chunk c, word lane l takes
+    shifted_g[l + 128c - q_g] — no scatter, no serial work.
     """
-    t = words_ref.shape[0]
-    lens = lens_ref[...].reshape(t, g)                   # [T, G]
+    t = words_ref.shape[1]
+    lens = jnp.concatenate([lens_ref[gi] for gi in range(g)],
+                           axis=1)                       # [T, G]
     lane = jax.lax.broadcasted_iota(jnp.int32, (t, 128), 1)
 
     out_chunks = [jnp.zeros((t, 128), jnp.uint32) for _ in range(chunks)]
     zpad = jnp.zeros((t, 128 - BLOCK_WORDS), jnp.uint32)
     off = jnp.zeros((t, 1), jnp.int32)                   # exclusive bits
     for gi in range(g):
-        w = words_ref[:, gi, :]                          # [T, BLOCK_WORDS]
+        w = words_ref[gi]                                # [T, BLOCK_WORDS]
         w_pad = jnp.concatenate([w, zpad], axis=1)       # [T, 128]
         r = (off & 31).astype(jnp.uint32)
         q = off >> 5                                     # [T, 1]
@@ -427,13 +430,16 @@ def mcu_merge(words: jax.Array, lens: jax.Array, g: int,
         mw, ml = mcu_merge(words, lens, g, chunks)
         return mw[:nm], ml[:nm]
     kernel = functools.partial(_mcu_merge_kernel, g=g, chunks=chunks)
+    # g-leading layout so kernel slices are natively tiled (see kernel doc)
+    words_t = words.reshape(nm, g, BLOCK_WORDS).transpose(1, 0, 2)
+    lens_t = lens.reshape(nm, g, 1).transpose(1, 0, 2)
     mw, ml = pl.pallas_call(
         kernel,
         grid=(nm // tile,),
         in_specs=[
-            pl.BlockSpec((tile, g, BLOCK_WORDS), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, tile, BLOCK_WORDS), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, g, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, tile, 1), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -447,7 +453,7 @@ def mcu_merge(words: jax.Array, lens: jax.Array, g: int,
             jax.ShapeDtypeStruct((nm, 1), jnp.int32),
         ),
         interpret=_interpret(),
-    )(words.reshape(nm, g, BLOCK_WORDS), lens.reshape(nm, g, 1))
+    )(words_t, lens_t)
     return mw, ml.reshape(nm)
 
 
@@ -1201,17 +1207,10 @@ def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
         w2 = jnp.left_shift(jnp.left_shift(v1, 1), (31 - phi) & 31)
         t_base = (cur + row_base) >> 2               # [8,1]
         t_rel = t_abs - t_base                       # in [0, 258]
-
-        # Value prefix sums as f32 16-bit halves: an i32 formulation is
-        # equivalent but explodes Mosaic compile time (see _place_pair).
-        def half_ps(w):
-            wh = pltpu.bitcast(jnp.right_shift(w, 16),
-                               jnp.int32).astype(jnp.float32)
-            wl = pltpu.bitcast(w & 0xFFFF, jnp.int32).astype(jnp.float32)
-            return (_cumlog(wh, jnp.add, 0.0, axis=1),
-                    _cumlog(wl, jnp.add, 0.0, axis=1))
-
-        ps = [half_ps(w) for w in (w0, w1, w2)]
+        # Invalid (past-rem) words would tie the final partial word's
+        # target (strict monotonicity only holds for full words); push
+        # them past every real target so ranks resolve to real sources.
+        t_rel = jnp.where(wexp > 0, t_rel, jnp.int32(1 << 14))
 
         def rank_at(q):
             """#lanes i with t_rel[i] <= q, per row (q [8,128])."""
@@ -1223,18 +1222,24 @@ def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
                 pos = jnp.where((cand <= 128) & (probe <= q), cand, pos)
             return pos
 
-        def ps_at(psk, r):
-            g = jnp.take_along_axis(pltpu.bitcast(psk, jnp.int32),
-                                    jnp.maximum(r - 1, 0), axis=1)
-            g = pltpu.bitcast(g, jnp.float32)
-            return jnp.where(r > 0, g, 0.0)
+        def val_at(vals, j, eq_q):
+            """vals[j] where t_rel[j] == eq_q, else 0 (j clamped; pure
+            gather — valid words' targets are strictly increasing, so at
+            most one source word maps to any output word)."""
+            jc = jnp.maximum(j, 0)
+            t = jnp.take_along_axis(t_rel, jc, axis=1)
+            v = pltpu.bitcast(
+                jnp.take_along_axis(pltpu.bitcast(vals, jnp.int32), jc,
+                                    axis=1), jnp.uint32)
+            return jnp.where((j >= 0) & (t == eq_q), v, 0)
 
-        # Per plane P, output word w needs ranks at queries q, q-1, q-2,
-        # q-3 (value planes w0/w1/w2 target t, t+1, t+2). Lane rolls give
-        # q-1..q-3 within the plane; the first lanes take the previous
-        # plane's tail ranks (rank(-k) = 0 for plane 0 since t_rel >= 0).
+        # Output word w takes w0 from the word targeting w, w1 from the
+        # word targeting w-1, w2 from w-2. Targets of valid words are
+        # strictly increasing (every full word expands to >= 1 output
+        # word), so each is a unique gather — no prefix sums needed.
+        # Plane-edge lanes take the previous plane's tail ranks.
         out_planes = []
-        prev_r = [jnp.zeros((8, 1), jnp.int32)] * 3  # ranks at 128p-1,-2,-3
+        prev_r = [jnp.zeros((8, 1), jnp.int32)] * 2  # ranks at 128p-1,-2
         for p in range(3):
             q = lane8 + 128 * p
             r0 = rank_at(q)
@@ -1242,24 +1247,14 @@ def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
             r2 = jnp.where(lane8 == 0, prev_r[1],
                            jnp.where(lane8 == 1, prev_r[0],
                                      pltpu.roll(r0, 2, axis=1)))
-            r3 = jnp.where(lane8 == 0, prev_r[2],
-                           jnp.where(lane8 == 1, prev_r[1],
-                                     jnp.where(lane8 == 2, prev_r[0],
-                                               pltpu.roll(r0, 3, axis=1))))
-            hi = (ps_at(ps[0][0], r0) - ps_at(ps[0][0], r1) +
-                  ps_at(ps[1][0], r1) - ps_at(ps[1][0], r2) +
-                  ps_at(ps[2][0], r2) - ps_at(ps[2][0], r3))
-            lo = (ps_at(ps[0][1], r0) - ps_at(ps[0][1], r1) +
-                  ps_at(ps[1][1], r1) - ps_at(ps[1][1], r2) +
-                  ps_at(ps[2][1], r2) - ps_at(ps[2][1], r3))
-            outp = jnp.left_shift(
-                pltpu.bitcast(hi.astype(jnp.int32), jnp.uint32), 16) | \
-                pltpu.bitcast(lo.astype(jnp.int32), jnp.uint32)
+            outp = (val_at(w0, r0 - 1, q) |
+                    val_at(w1, r1 - 1, q - 1) |
+                    val_at(w2, r2 - 1, q - 2))
             out_planes.append(outp)
             prev_r = [
                 jnp.take_along_axis(r0, jnp.full_like(lane8, 127 - k),
                                     axis=1)[:, 0:1]
-                for k in range(3)]
+                for k in range(2)]
 
         for p in range(3):
             win = place_rows(win, out_planes[p], t_base + 128 * p)

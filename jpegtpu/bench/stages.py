@@ -84,24 +84,26 @@ def stage_report(img: np.ndarray, cfg: EncoderConfig,
         from jpegtpu.kernels import entropy_pack
         n_mcu, b, _ = coeffs.shape
 
+        mcu_chunks, _ = entropy_pack.mcu_capacity(b, 384)
+
         def f_sym(c):
             dcd = scan.dc_diffs(c, n_luma, restart).reshape(-1)
             cls = (jnp.arange(n_mcu * b, dtype=jnp.int32) % b >= n_luma)
-            return entropy_pack.block_pack(
-                c.reshape(-1, 64), cls.astype(jnp.int32), dcd)
+            return entropy_pack.block_pack_mcu(
+                c.reshape(-1, 64), cls.astype(jnp.int32), dcd, b,
+                mcu_chunks)
 
         f_sym_j = jax.jit(f_sym)
         out["block_pack"] = _sync_time(f_sym_j, coeffs, iters=iters)
-        words, blens = f_sym_j(coeffs)
+        mwords, mlens = f_sym_j(coeffs)
         n_seg = -(-n_mcu // restart) if restart else 1
-        bps = (restart if restart else n_mcu) * b
+        mps = restart if restart else n_mcu
+        bps = mps * b
         w_cap = -(-bps * 384 // 32)
-        mcu_chunks, _ = entropy_pack.mcu_capacity(b, 384)
-        f_merge = jax.jit(lambda w, l: entropy_pack.seg_merge_v3(
-            w, l, n_seg, bps, w_cap, blocks_per_mcu=b,
-            mcu_chunks=mcu_chunks)[:2])
-        out["seg_merge"] = _sync_time(f_merge, words, blens, iters=iters)
-        sw, sb = f_merge(words, blens)
+        f_merge = jax.jit(lambda w, l: entropy_pack.seg_merge_mcu(
+            w, l, n_seg, mps, w_cap)[:2])
+        out["seg_merge"] = _sync_time(f_merge, mwords, mlens, iters=iters)
+        sw, sb = f_merge(mwords, mlens)
         fps = sw.shape[1] // 1024
         f_cp = jax.jit(lambda w, bts: entropy_pack.compact_segments(
             w, bts, fps))

@@ -87,20 +87,19 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
     n_mcu, b, _ = coeffs.shape
     dcd = scan.dc_diffs(coeffs, n_luma, restart).reshape(-1)
     cls = (jnp.arange(n_mcu * b, dtype=jnp.int32) % b >= n_luma)
-    words, blens = entropy_pack.block_pack(
-        coeffs.reshape(-1, 64), cls.astype(jnp.int32), dcd)
-    pad_mcu = n_seg * mcus_per_seg - n_mcu
-    if pad_mcu:  # ragged last segment: append silent (zero-length) blocks
-        words = jnp.concatenate(
-            [words, jnp.zeros((pad_mcu * b, words.shape[1]), words.dtype)])
-        blens = jnp.concatenate(
-            [blens, jnp.zeros(pad_mcu * b, blens.dtype)])
     bps = mcus_per_seg * b
     w_cap = -(-bps * bits_budget // 32)
     mcu_chunks, _ = entropy_pack.mcu_capacity(b, bits_budget)
-    seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_v3(
-        words, blens, n_seg, bps, w_cap, blocks_per_mcu=b,
-        mcu_chunks=mcu_chunks)
+    mwords, mlens = entropy_pack.block_pack_mcu(
+        coeffs.reshape(-1, 64), cls.astype(jnp.int32), dcd, b, mcu_chunks)
+    pad_mcu = n_seg * mcus_per_seg - n_mcu
+    if pad_mcu:  # ragged last segment: append silent (zero-length) MCUs
+        mwords = jnp.concatenate(
+            [mwords, jnp.zeros((pad_mcu, mwords.shape[1]), mwords.dtype)])
+        mlens = jnp.concatenate(
+            [mlens, jnp.zeros(pad_mcu, mlens.dtype)])
+    seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
+        mwords, mlens, n_seg, mcus_per_seg, w_cap)
     # Device compaction: only the actual compressed bytes ever cross the
     # host link (which can be slow — e.g. a tunneled chip).
     frames_per_seg = seg_words.shape[1] // 1024
@@ -131,14 +130,13 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
     flat = coeffs.reshape(bsz * n_mcu, b, 64)
     dcd = scan.dc_diffs(flat, n_luma, restart).reshape(-1)
     cls = (jnp.arange(bsz * n_mcu * b, dtype=jnp.int32) % b >= n_luma)
-    words, blens = entropy_pack.block_pack(
-        flat.reshape(-1, 64), cls.astype(jnp.int32), dcd)
     bps = mcus_per_seg * b
     w_cap = -(-bps * bits_budget // 32)
     mcu_chunks, _ = entropy_pack.mcu_capacity(b, bits_budget)
-    seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_v3(
-        words, blens, bsz * n_seg, bps, w_cap, blocks_per_mcu=b,
-        mcu_chunks=mcu_chunks)
+    mwords, mlens = entropy_pack.block_pack_mcu(
+        flat.reshape(-1, 64), cls.astype(jnp.int32), dcd, b, mcu_chunks)
+    seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
+        mwords, mlens, bsz * n_seg, mcus_per_seg, w_cap)
     frames_per_seg = seg_words.shape[1] // 1024
     if device_stuff:
         stream, img_off, total = entropy_pack.compact_segments_stuffed(

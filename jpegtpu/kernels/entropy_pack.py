@@ -100,14 +100,13 @@ def _size_category(av):
     return jnp.where(av > 0, e - 126, 0)
 
 
-def _block_pack_kernel(coeffs_ref, cls_ref, dcdiff_ref, ac_tbl_ref,
-                       dc_tbl_ref, words_ref, lens_ref):
-    """Two blocks per 128-lane row: lanes [0,64) are block A's zigzag slots,
-    [64,128) block B's. Every scan/select masks on k = lane%64, so the two
-    halves never interact and all ops run at native vector width."""
-    c = coeffs_ref[...].astype(jnp.int32)              # [T2, 128]
-    cls2 = cls_ref[...].astype(jnp.int32)              # [T2, 2]
-    dcd2 = dcdiff_ref[...].astype(jnp.int32)           # [T2, 2]
+def _symbolize_pair(c, cls2, dcd2, ac_tbl_ref, dc_tbl_ref):
+    """Kernel B core on one two-block row group: lanes [0,64) are block
+    A's zigzag slots, [64,128) block B's. Every scan/select masks on
+    k = lane%64, so the two halves never interact and all ops run at
+    native vector width. [T,128] i32 (+[T,2] class, [T,2] dcdiff) ->
+    ([T,128] u32 packed words: A's stream in lanes [0,64), B's in
+    [64,128); [T,2] i32 total bit lengths)."""
     t = c.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (t, 128), 1)
     k = lane & 63                                       # slot within block
@@ -127,10 +126,10 @@ def _block_pack_kernel(coeffs_ref, cls_ref, dcdiff_ref, ac_tbl_ref,
     cmax = _cumlog64(masked, jnp.maximum, -1, k)        # per-half cummax
     prev = pltpu.roll(cmax, 1, axis=1)
     prev = jnp.where(k == 0, 0, prev)                   # half-safe shift
-    mk = jnp.where(m, k, 0)
-    lmax0 = jnp.max(jnp.where(half == 0, mk, 0), axis=1, keepdims=True)
-    lmax1 = jnp.max(jnp.where(half == 1, mk, 0), axis=1, keepdims=True)
-    last_nz = jnp.where(half == 0, lmax0, lmax1)
+    # last nonzero slot = the cummax at each half's final lane (the DC
+    # sentinel keeps it >= 0) — no full-lane reductions needed
+    last_nz = per_half(jnp.concatenate(
+        [cmax[:, 63:64], cmax[:, 127:128]], axis=1))
 
     run = k - prev - 1
     av = jnp.abs(c)
@@ -215,7 +214,14 @@ def _block_pack_kernel(coeffs_ref, cls_ref, dcdiff_ref, ac_tbl_ref,
     # each output word is a difference of prefix sums at a rank found by
     # branchless binary search — a scatter expressed entirely as gathers.
     words = _place_pair(hi, lo, w_idx, k, half)
+    return words, total
 
+
+def _block_pack_kernel(coeffs_ref, cls_ref, dcdiff_ref, ac_tbl_ref,
+                       dc_tbl_ref, words_ref, lens_ref):
+    words, total = _symbolize_pair(
+        coeffs_ref[...].astype(jnp.int32), cls_ref[...].astype(jnp.int32),
+        dcdiff_ref[...].astype(jnp.int32), ac_tbl_ref, dc_tbl_ref)
     words_ref[...] = words
     lens_ref[...] = total
 
@@ -385,11 +391,9 @@ def _mcu_merge_kernel(words_ref, lens_ref, mwords_ref, mlens_ref,
     lane = jax.lax.broadcasted_iota(jnp.int32, (t, 128), 1)
 
     out_chunks = [jnp.zeros((t, 128), jnp.uint32) for _ in range(chunks)]
-    zpad = jnp.zeros((t, 128 - BLOCK_WORDS), jnp.uint32)
     off = jnp.zeros((t, 1), jnp.int32)                   # exclusive bits
     for gi in range(g):
-        w = words_ref[gi]                                # [T, BLOCK_WORDS]
-        w_pad = jnp.concatenate([w, zpad], axis=1)       # [T, 128]
+        w_pad = words_ref[gi]                            # [T, 128] padded
         r = (off & 31).astype(jnp.uint32)
         q = off >> 5                                     # [T, 1]
         rolled1 = pltpu.roll(w_pad, 1, axis=1)
@@ -430,14 +434,17 @@ def mcu_merge(words: jax.Array, lens: jax.Array, g: int,
         mw, ml = mcu_merge(words, lens, g, chunks)
         return mw[:nm], ml[:nm]
     kernel = functools.partial(_mcu_merge_kernel, g=g, chunks=chunks)
-    # g-leading layout so kernel slices are natively tiled (see kernel doc)
+    # g-leading layout so kernel slices are natively tiled (see kernel
+    # doc); lane-pad to 128 in XLA so the kernel never concatenates
+    # (a [T,56] -> [T,128] in-kernel pad relayouts every iteration)
     words_t = words.reshape(nm, g, BLOCK_WORDS).transpose(1, 0, 2)
+    words_t = jnp.pad(words_t, ((0, 0), (0, 0), (0, 128 - BLOCK_WORDS)))
     lens_t = lens.reshape(nm, g, 1).transpose(1, 0, 2)
     mw, ml = pl.pallas_call(
         kernel,
         grid=(nm // tile,),
         in_specs=[
-            pl.BlockSpec((g, tile, BLOCK_WORDS), lambda i: (0, i, 0),
+            pl.BlockSpec((g, tile, 128), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((g, tile, 1), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -454,6 +461,119 @@ def mcu_merge(words: jax.Array, lens: jax.Array, g: int,
         ),
         interpret=_interpret(),
     )(words_t, lens_t)
+    return mw, ml.reshape(nm)
+
+
+def _block_pack_mcu_kernel(coeffs_ref, cls_ref, dcd_ref, ac_tbl_ref,
+                           dc_tbl_ref, mwords_ref, mlens_ref,
+                           *, g: int, chunks: int):
+    """Kernels B+C fused: symbolize + per-block pack + MCU merge with the
+    per-block streams never leaving registers (saves the full [N,56]
+    HBM round trip and the mcu_merge kernel's streaming floor).
+
+    coeffs [T, G2*128] (pair-major zigzag slots: pair p's lanes hold
+    blocks 2p / 2p+1), cls/dcd [T, 2*G2] -> mwords [T, chunks*128],
+    mlens [T, 1]. Odd g pads a dummy block whose stream is simply never
+    merged."""
+    g2 = (g + 1) // 2
+    cls_a = cls_ref[...].astype(jnp.int32)
+    dcd_a = dcd_ref[...].astype(jnp.int32)
+    pair_words = []
+    pair_tot = []
+    for p in range(g2):
+        c = coeffs_ref[:, 128 * p:128 * (p + 1)].astype(jnp.int32)
+        w_p, tot_p = _symbolize_pair(
+            c, cls_a[:, 2 * p:2 * p + 2], dcd_a[:, 2 * p:2 * p + 2],
+            ac_tbl_ref, dc_tbl_ref)
+        pair_words.append(w_p)
+        pair_tot.append(tot_p)
+
+    t = pair_words[0].shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t, 128), 1)
+    out_chunks = [jnp.zeros((t, 128), jnp.uint32) for _ in range(chunks)]
+    off = jnp.zeros((t, 1), jnp.int32)                   # exclusive bits
+    for gi in range(g):
+        p, hh = divmod(gi, 2)
+        w = pair_words[p]
+        if hh:                      # bring block B's words to lanes [0,64)
+            w = pltpu.roll(w, 64, axis=1)
+        w_pad = jnp.where(lane < 64, w, 0)
+        r = (off & 31).astype(jnp.uint32)
+        q = off >> 5
+        rolled1 = pltpu.roll(w_pad, 1, axis=1)
+        sh = jnp.right_shift(w_pad, r)
+        sh = sh | jnp.left_shift(jnp.left_shift(rolled1, 1),
+                                 (31 - r) & 31)
+        for ci in range(chunks):
+            idx = lane + (128 * ci) - q
+            valid = (idx >= 0) & (idx < 128)
+            gat = jnp.take_along_axis(sh, jnp.clip(idx, 0, 127), axis=1)
+            out_chunks[ci] = out_chunks[ci] | jnp.where(valid, gat, 0)
+        off = off + pair_tot[p][:, hh:hh + 1]
+    mwords_ref[...] = jnp.concatenate(out_chunks, axis=1)
+    mlens_ref[...] = off
+
+
+def block_pack_mcu(coeffs: jax.Array, cls: jax.Array, dcdiff: jax.Array,
+                   g: int, chunks: int | None = None):
+    """[N, 64] i32 zigzag blocks in MCU-major order (+[N] class, [N]
+    dcdiff) -> ([N/g, chunks*128] u32 MCU streams, [N/g] i32 bit
+    lengths). Bit-identical to mcu_merge(*block_pack(...), g, chunks);
+    see _block_pack_mcu_kernel."""
+    n = coeffs.shape[0]
+    assert n % g == 0
+    nm = n // g
+    if chunks is None:
+        chunks = -(-(g * 52 + 2) // 128)
+    tile = _TILE
+    pad = (-nm) % tile
+    if pad:
+        coeffs = jnp.concatenate(
+            [coeffs, jnp.zeros((pad * g, 64), coeffs.dtype)])
+        cls = jnp.concatenate([cls.reshape(-1),
+                               jnp.zeros(pad * g, cls.dtype)])
+        dcdiff = jnp.concatenate([dcdiff.reshape(-1),
+                                  jnp.zeros(pad * g, dcdiff.dtype)])
+        mw, ml = block_pack_mcu(coeffs, cls, dcdiff, g, chunks)
+        return mw[:nm], ml[:nm]
+    g2 = (g + 1) // 2
+    c3 = coeffs.reshape(nm, g, 64)
+    cls2 = cls.reshape(nm, g)
+    dcd2 = dcdiff.reshape(nm, g)
+    if g != 2 * g2:                                     # odd g: dummy block
+        c3 = jnp.pad(c3, ((0, 0), (0, 1), (0, 0)))
+        cls2 = jnp.pad(cls2, ((0, 0), (0, 1)))
+        dcd2 = jnp.pad(dcd2, ((0, 0), (0, 1)))
+    ac_tbl = jnp.asarray(_lut_tables())
+    dc_tbl = jnp.asarray(_dc_tables())
+    kernel = functools.partial(_block_pack_mcu_kernel, g=g, chunks=chunks)
+    mw, ml = pl.pallas_call(
+        kernel,
+        grid=(nm // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, g2 * 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2 * g2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 2 * g2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tile, chunks * 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nm, chunks * 128), jnp.uint32),
+            jax.ShapeDtypeStruct((nm, 1), jnp.int32),
+        ),
+        interpret=_interpret(),
+    )(c3.reshape(nm, 2 * g2 * 64), cls2, dcd2, ac_tbl, dc_tbl)
     return mw, ml.reshape(nm)
 
 
@@ -790,9 +910,16 @@ def seg_merge_v3(words: jax.Array, lens: jax.Array, n_seg: int, bps: int,
     frame capacity."""
     g = blocks_per_mcu
     mwords, mlens = mcu_merge(words, lens, g, mcu_chunks)
+    return seg_merge_mcu(mwords, mlens, n_seg, bps // g, w_cap,
+                         block_mcus)
+
+
+def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
+                  mps: int, w_cap: int, block_mcus: int | None = None):
+    """seg_merge_v3's serial-window phase on pre-merged MCU streams
+    ([nm, chunks*128] u32 + [nm] i32, e.g. from block_pack_mcu)."""
     chunks = mwords.shape[1] // 128
     nm = mwords.shape[0]
-    mps = bps // g
     assert nm == n_seg * mps
     max_mcu_bits = jnp.max(mlens)
 
@@ -1120,17 +1247,26 @@ def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
                                   lo[r:r + 1, :], 0)
         return win
 
+    def _out_copy(fi):
+        return pltpu.make_async_copy(
+            flush_ref.at[fi & 1],
+            out_ref.at[jnp.minimum(fi, out_frames - 1)],
+            sem_out.at[fi & 1])
+
     def flush_frame(win, fi):
-        """Stage frame fi's 8 window rows (static parity slices) + DMA."""
+        """Stage frame fi's 8 window rows (static parity slices) into
+        flush slot fi&1 and start the DMA. Output DMAs are double-
+        buffered: frames flush in strictly increasing fi, each exactly
+        once, so the slot's previous DMA is always frame fi-2 — wait on
+        it before restaging. The kernel tail drains the last two."""
+        @pl.when(fi >= 2)
+        def _():
+            _out_copy(fi - 2).wait()
         for par in range(4):
             @pl.when((fi & 3) == par)
             def _(par=par):
-                flush_ref[...] = bswap(win[par * 8:(par + 1) * 8, :])
-        cp = pltpu.make_async_copy(
-            flush_ref, out_ref.at[jnp.minimum(fi, out_frames - 1)],
-            sem_out)
-        cp.start()
-        cp.wait()
+                flush_ref[par & 1] = bswap(win[par * 8:(par + 1) * 8, :])
+        _out_copy(fi).start()
 
     def flush_and_zero(win, cur, end):
         """DMA out every frame completed in [cur, end); zero its rows.
@@ -1294,9 +1430,15 @@ def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
     win = jax.lax.fori_loop(0, n_seg, seg_body, zero_win)
 
     # Final partial frame: total scan bytes = seg_end of the last segment
-    # (no marker after it).
+    # (no marker after it). Drain the two in-flight output DMAs.
     total = send_ref[0, n_seg - 1, 0]
-    flush_frame(win, total >> 12)
+    last = total >> 12
+    flush_frame(win, last)
+
+    @pl.when(last >= 1)
+    def _():
+        _out_copy(last - 1).wait()
+    _out_copy(last).wait()
 
 
 def compact_segments_stuffed(seg_words: jax.Array, seg_bits: jax.Array,
@@ -1340,9 +1482,9 @@ def compact_segments_stuffed(seg_words: jax.Array, seg_bits: jax.Array,
         out_shape=jax.ShapeDtypeStruct((out_frames, 8, 128), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((2, 8, 128), jnp.uint32),     # double-buffered in
-            pltpu.VMEM((8, 128), jnp.uint32),
+            pltpu.VMEM((2, 8, 128), jnp.uint32),     # double-buffered out
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

@@ -119,6 +119,83 @@ def main():
             ref = np.asarray(f_a(words, lens)[0])
             log(f"B bits match A: {np.array_equal(got, ref)}")
 
+    # tile sweep on the pre-padded variant: is the floor per-grid-step?
+    def run_tile(tile):
+        kern = functools.partial(padded_kernel, mode="full")
+
+        def f(w_, l_):
+            w_t = w_.reshape(nm, g, ep.BLOCK_WORDS).transpose(1, 0, 2)
+            w_t = jnp.pad(w_t, ((0, 0), (0, 0),
+                                (0, 128 - ep.BLOCK_WORDS)))
+            l_t = l_.reshape(nm, g, 1).transpose(1, 0, 2)
+            return pl.pallas_call(
+                kern,
+                grid=(nm // tile,),
+                in_specs=[
+                    pl.BlockSpec((g, tile, 128), lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((g, tile, 1), lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((tile, chunks * 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((nm, chunks * 128), jnp.uint32),
+                    jax.ShapeDtypeStruct((nm, 1), jnp.int32),
+                ),
+            )(w_t, l_t)
+        return jax.jit(f)
+
+    for tile in (512, 1024, 2048):
+        f = run_tile(tile)
+        t = sync_time(f, words, lens)
+        log(f"B tile={tile}: {t * 1e3:.2f} ms")
+
+    # pure-copy floor: load the 6 g-slices, OR them, store
+    def copy_kernel(words_ref, lens_ref, mwords_ref, mlens_ref):
+        acc = words_ref[0]
+        for gi in range(1, g):
+            acc = acc | words_ref[gi]
+        mwords_ref[...] = acc
+        mlens_ref[...] = lens_ref[0]
+
+    def run_copy(tile):
+        def f(w_, l_):
+            w_t = w_.reshape(nm, g, ep.BLOCK_WORDS).transpose(1, 0, 2)
+            w_t = jnp.pad(w_t, ((0, 0), (0, 0),
+                                (0, 128 - ep.BLOCK_WORDS)))
+            l_t = l_.reshape(nm, g, 1).transpose(1, 0, 2)
+            return pl.pallas_call(
+                copy_kernel,
+                grid=(nm // tile,),
+                in_specs=[
+                    pl.BlockSpec((g, tile, 128), lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((g, tile, 1), lambda i: (0, i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=(
+                    pl.BlockSpec((tile, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ),
+                out_shape=(
+                    jax.ShapeDtypeStruct((nm, 128), jnp.uint32),
+                    jax.ShapeDtypeStruct((nm, 1), jnp.int32),
+                ),
+            )(w_t, l_t)
+        return jax.jit(f)
+
+    for tile in (256, 1024):
+        f = run_copy(tile)
+        t = sync_time(f, words, lens)
+        log(f"pure-copy floor tile={tile}: {t * 1e3:.2f} ms")
+
     log("DONE")
     return 0
 

@@ -215,6 +215,26 @@ def test_mcu_merge_against_block_oracle():
                                       err_msg=f"mcu {i}")
 
 
+@pytest.mark.parametrize("g", [1, 3, 4, 6])
+def test_block_pack_mcu_matches_composition(g):
+    """Fused kernels B+C == block_pack -> mcu_merge, bit for bit
+    (including odd g via the dummy-block pair pad and row padding)."""
+    rng = np.random.default_rng(11 + g)
+    for nm in (5, 300):
+        c = _random_blocks(rng, nm, g, 0.2, -255, 256)
+        cls = (rng.random(nm * g) < 0.4).astype(np.int32)
+        dcd = rng.integers(-500, 500, nm * g).astype(np.int32)
+        chunks, _ = ep.mcu_capacity(g, 384)
+        w, l = ep.block_pack(jnp.asarray(c.reshape(-1, 64)),
+                             jnp.asarray(cls), jnp.asarray(dcd))
+        mw0, ml0 = ep.mcu_merge(w, l, g, chunks)
+        mw1, ml1 = ep.block_pack_mcu(jnp.asarray(c.reshape(-1, 64)),
+                                     jnp.asarray(cls), jnp.asarray(dcd),
+                                     g, chunks)
+        np.testing.assert_array_equal(np.asarray(mw0), np.asarray(mw1))
+        np.testing.assert_array_equal(np.asarray(ml0), np.asarray(ml1))
+
+
 def _stuff_oracle(seg_bytes_list, restart):
     """Reference scan assembly: 0xFF00 stuffing + RSTn splicing."""
     parts = []

@@ -68,14 +68,40 @@ def _shard_fn(imgs, *, quality, subsampling, restart, n_seg_local,
 
 
 def _shard_fn_pallas(imgs, *, quality, subsampling, restart, n_seg_local,
-                     mcus_per_seg, bits_budget, use_fused):
+                     mcus_per_seg, bits_budget, use_fused, n_seg_keep=0):
     """Per-shard body on the Pallas entropy path: the shard's whole image
     batch folds into the block dimension (same trick as
     encoder._device_encode_pallas_batch — vmap would batch the ANY-space
     compact kernel, which Mosaic rejects), producing ONE compacted stream
     per shard. The ICI work is a psum/all_gather of byte totals so every
-    shard knows the global output size."""
+    shard knows the global output size.
+
+    With n_seg_keep > 0 (segments per image the DECODER expects, from the
+    unpadded height) the shard also stuffs + splices RSTn markers on
+    device: marker numbers are computed from the mesh row index so the
+    RST cycle runs across row shards within each image, the image's true
+    last segment (which may sit before this shard's end when row-padding
+    added droppable tail segments) gets no marker, and the host assembly
+    is pure byte concatenation."""
     from jpegtpu.encoder import _device_encode_pallas_batch
+    if n_seg_keep:
+        b_loc = imgs.shape[0]
+        r = jax.lax.axis_index(mesh_lib.ROW_AXIS).astype(jnp.int32)
+        within = (jnp.arange(b_loc * n_seg_local, dtype=jnp.int32)
+                  % n_seg_local)
+        g = r * n_seg_local + within        # within-image global seg index
+        mnum = jnp.where(g < n_seg_keep - 1, 0xD0 + (g % 8),
+                         0).astype(jnp.int32)
+        stream, seg_bits, max_mcu, seg_start, total = \
+            _device_encode_pallas_batch(
+                imgs, quality=quality, subsampling=subsampling,
+                restart=restart, n_seg=n_seg_local,
+                mcus_per_seg=mcus_per_seg, bits_budget=bits_budget,
+                use_fused=use_fused, device_stuff=True, marker_nums=mnum)
+        max_mcu = jax.lax.pmax(max_mcu, mesh_lib.ROW_AXIS)
+        return (stream.reshape(1, -1), seg_bits,
+                seg_start.reshape(1, -1), total.reshape(1, 1),
+                max_mcu.reshape(1))
     stream, seg_bits, max_mcu = _device_encode_pallas_batch(
         imgs, quality=quality, subsampling=subsampling, restart=restart,
         n_seg=n_seg_local, mcus_per_seg=mcus_per_seg,
@@ -91,7 +117,8 @@ def _shard_fn_pallas(imgs, *, quality, subsampling, restart, n_seg_local,
 
 @functools.lru_cache(maxsize=16)
 def _build_sharded_pallas(mesh_key, shape: Tuple[int, int, int],
-                          cfg: EncoderConfig, bits_budget: int):
+                          cfg: EncoderConfig, bits_budget: int,
+                          n_seg_keep: int = 0):
     mesh = _MESHES[mesh_key]
     b, h, w = shape
     n_row = mesh.shape[mesh_lib.ROW_AXIS]
@@ -110,14 +137,23 @@ def _build_sharded_pallas(mesh_key, shape: Tuple[int, int, int],
     fn = functools.partial(
         _shard_fn_pallas, quality=cfg.quality, subsampling=cfg.subsampling,
         restart=restart, n_seg_local=n_seg_local, mcus_per_seg=restart,
-        bits_budget=bits_budget, use_fused=cfg.use_pallas)
+        bits_budget=bits_budget, use_fused=cfg.use_pallas,
+        n_seg_keep=n_seg_keep)
+    if n_seg_keep:
+        out_specs = (P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
+                     P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
+                     P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
+                     P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
+                     P(mesh_lib.DATA_AXIS))
+    else:
+        out_specs = (P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
+                     P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
+                     P(mesh_lib.DATA_AXIS),
+                     P(mesh_lib.DATA_AXIS))
     sharded = jax.shard_map(
         fn, mesh=mesh,
         in_specs=P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS, None, None),
-        out_specs=(P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
-                   P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
-                   P(mesh_lib.DATA_AXIS),
-                   P(mesh_lib.DATA_AXIS)),
+        out_specs=out_specs,
         check_vma=False)
     return _jit_replicated_out(sharded, mesh), restart, n_seg_local
 
@@ -169,6 +205,52 @@ def _assemble_sharded_pallas(stream, seg_bits, b, n_data, n_row, h, w, cfg,
         contig = np.concatenate(parts) if parts else np.zeros(0, np.uint8)
         nb_all = np.concatenate(lens).astype(np.int32)
         scan_bytes = native.stuff_assemble_contig(contig, nb_all, restart)
+        out.append(jfif.wrap_jpeg(h, w, cfg.quality, cfg.subsampling,
+                                  restart, scan_bytes))
+    return out
+
+
+def _assemble_sharded_pallas_stuffed(stream, seg_start, totals, b, n_data,
+                                     n_row, h, w, cfg, restart,
+                                     n_seg_local, n_seg_keep):
+    """Host assembly when shards stuff + splice on device: fetch each
+    shard stream's exact stuffed bytes once, then per image concatenate
+    the per-shard slices (markers are already numbered across shards by
+    _shard_fn_pallas) and wrap headers. No host codec work at all.
+
+    Row-padding tail segments (beyond n_seg_keep per image) are embedded
+    in the device streams but carry no markers and are simply not
+    sliced out."""
+    b_loc = b // n_data
+    per_shard_words = stream.shape[1] // n_row
+    ss = np.asarray(seg_start).reshape(n_data, n_row,
+                                       b_loc * n_seg_local)
+    tot = np.asarray(totals).reshape(n_data, n_row).astype(np.int64)
+
+    shard_bytes = {}
+    for d in range(n_data):
+        for r in range(n_row):
+            nb = int(tot[d, r])
+            n_words = -(-nb // 4)
+            raw = np.asarray(
+                stream[d, r * per_shard_words:
+                       r * per_shard_words + n_words]).view(np.uint8)
+            shard_bytes[(d, r)] = raw[:nb]
+
+    out = []
+    for i in range(b):
+        d, j = divmod(i, b_loc)
+        parts = []
+        for r in range(n_row):
+            keep = min(max(n_seg_keep - r * n_seg_local, 0), n_seg_local)
+            if keep == 0:
+                break
+            start = int(ss[d, r, j * n_seg_local])
+            idx_end = j * n_seg_local + keep
+            end = (int(ss[d, r, idx_end]) if idx_end < ss.shape[2]
+                   else int(tot[d, r]))
+            parts.append(shard_bytes[(d, r)][start:end])
+        scan_bytes = b"".join(p.tobytes() for p in parts)
         out.append(jfif.wrap_jpeg(h, w, cfg.quality, cfg.subsampling,
                                   restart, scan_bytes))
     return out
@@ -342,12 +424,38 @@ def encode_batch_sharded(imgs: np.ndarray, cfg: EncoderConfig, mesh):
         key = _mesh_key(mesh)
         n_data = mesh.shape[mesh_lib.DATA_AXIS]
         b_loc = b // n_data
+        from jpegtpu.encoder import _budget_overflow
+        if cfg.device_stuff:
+            # Device-side stuffing + RST splicing per shard: host assembly
+            # is byte concatenation only (see _shard_fn_pallas).
+            my_real, mx_real = ops.mcu_grid(h, w, cfg.subsampling)
+            n_seg_keep = my_real * (mx_real // cfg.resolve_restart(mx_real))
+
+            def run(budget):
+                fn, restart, n_seg_local = _build_sharded_pallas(
+                    key, (b, hp, wp), cfg, budget, n_seg_keep)
+                outs = fn(_put_imgs(imgs, mesh))
+                return (fn, restart, n_seg_local) + outs
+
+            _, restart, n_seg_local, stream, seg_bits, seg_start, totals, \
+                max_mcu = run(DEFAULT_BITS_BUDGET)
+            n_seg_shard = b_loc * n_seg_local
+            frames = ((stream.shape[1] // n_row // 1024) - 1) \
+                // (2 * n_seg_shard)
+            cap_bits = (frames - 1) * 1024 * 32
+            if _budget_overflow(np.asarray(seg_bits),
+                                int(np.asarray(max_mcu).max(initial=0)),
+                                cap_bits, cfg.blocks_per_mcu):
+                _, restart, n_seg_local, stream, seg_bits, seg_start, \
+                    totals, max_mcu = run(MAX_BITS_PER_BLOCK)
+            return _assemble_sharded_pallas_stuffed(
+                stream, seg_start, totals, b, n_data, n_row, h, w, cfg,
+                restart, n_seg_local, n_seg_keep)
         fn, restart, n_seg_local = _build_sharded_pallas(
             key, (b, hp, wp), cfg, DEFAULT_BITS_BUDGET)
         stream, seg_bits, total, max_mcu = fn(_put_imgs(imgs, mesh))
         frames = stream.shape[1] // n_row // (b_loc * n_seg_local) // 1024
         cap_bits = (frames - 1) * 1024 * 32
-        from jpegtpu.encoder import _budget_overflow
         if _budget_overflow(np.asarray(seg_bits),
                             int(np.asarray(max_mcu).max(initial=0)),
                             cap_bits, cfg.blocks_per_mcu):

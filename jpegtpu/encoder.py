@@ -114,7 +114,7 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
 
 def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
                                 n_seg, mcus_per_seg, bits_budget, use_fused,
-                                device_stuff=False):
+                                device_stuff=False, marker_nums=None):
     """Batched device program: [B, H, W, 3] -> one compacted stream + per-
     segment bit counts for the whole batch.
 
@@ -141,7 +141,8 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
     if device_stuff:
         stream, img_off, total = entropy_pack.compact_segments_stuffed(
             seg_words, seg_bits, frames_per_seg, restart,
-            segs_per_image=n_seg)
+            segs_per_image=n_seg, mnum=marker_nums,
+            full_offsets=marker_nums is not None)
         return (stream, seg_bits.reshape(bsz, n_seg), max_mcu_bits,
                 img_off, total)
     stream = entropy_pack.compact_segments(seg_words, seg_bits,

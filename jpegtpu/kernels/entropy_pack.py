@@ -1443,7 +1443,9 @@ def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
 
 def compact_segments_stuffed(seg_words: jax.Array, seg_bits: jax.Array,
                              frames_per_seg: int, restart: int,
-                             segs_per_image: int | None = None):
+                             segs_per_image: int | None = None,
+                             mnum: jax.Array | None = None,
+                             full_offsets: bool = False):
     """[n_seg, F*1024] u32 + [n_seg] bits -> (scan stream u32 (byte-swapped:
     raw final scan bytes in order), image_offsets [n_images] i32,
     total_scan_bytes i32 scalar).
@@ -1452,17 +1454,24 @@ def compact_segments_stuffed(seg_words: jax.Array, seg_bits: jax.Array,
     0xFF00-stuffed and joined with RSTn markers on device. Host work is a
     fetch of total_scan_bytes bytes plus header concatenation. With
     segs_per_image set (batched encode), markers and RST numbering reset
-    at image boundaries and image_offsets gives each image's byte start."""
+    at image boundaries and image_offsets gives each image's byte start.
+
+    mnum overrides the marker table: [n_seg] i32, the RSTn marker's second
+    byte after each segment (0 = no marker). May be a traced array — the
+    sharded encoder computes it from the mesh row index so marker
+    numbering runs across row shards. full_offsets returns every
+    segment's stuffed byte start [n_seg] instead of image offsets."""
     n_seg = seg_words.shape[0]
     f = frames_per_seg
     spi = segs_per_image or n_seg
     assert n_seg % spi == 0
-    within = np.arange(n_seg, dtype=np.int32) % spi
-    mnum = np.where((restart > 0) & (within != spi - 1),
-                    0xD0 + (within % 8), 0).astype(np.int32)
+    if mnum is None:
+        within = np.arange(n_seg, dtype=np.int32) % spi
+        mnum = np.where((restart > 0) & (within != spi - 1),
+                        0xD0 + (within % 8), 0).astype(np.int32)
     chunk_off, out_chunk, in_chunk, seg_end, nchunks, seg_start, total = \
         _stuff_precompute(seg_words, seg_bits, f, mnum)
-    img_off = seg_start[::spi]
+    img_off = seg_start if full_offsets else seg_start[::spi]
     out_frames = n_seg * f * 2 + 1
     kernel = functools.partial(
         _compact_stuff_kernel, n_seg=n_seg, f_per_seg=f,

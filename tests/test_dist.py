@@ -93,6 +93,49 @@ def test_sharded_pallas_row_padding(mesh24, monkeypatch):
     assert sharded == singles
 
 
+def test_sharded_pallas_marker_cycle_across_shards(mesh24, monkeypatch):
+    """Device-side RST splicing: marker numbering (mod-8 cycle) must run
+    across row shards — 16 segments over 4 row shards wraps the cycle
+    twice, and the true last segment (no marker) sits in the last shard."""
+    import jpegtpu.kernels.entropy_pack as epk
+
+    rng = np.random.default_rng(12)
+    cfg = EncoderConfig(quality=85, subsampling="420",
+                        restart_interval="rows")
+    imgs = rng.integers(0, 256, (2, 256, 32, 3), dtype=np.uint8)
+    singles = [Encoder(cfg).encode(im) for im in imgs]
+    monkeypatch.setattr(shard, "_pallas_entropy_ok",
+                        lambda cfg_, mps: True)
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    shard._build_sharded_pallas.cache_clear()
+    try:
+        sharded = shard.encode_batch_sharded(imgs, cfg, mesh24)
+    finally:
+        shard._build_sharded_pallas.cache_clear()
+    assert sharded == singles
+
+
+def test_sharded_pallas_host_stuff_tier(mesh24, monkeypatch):
+    """device_stuff=False keeps the host-splice tier on the sharded
+    Pallas path (used when a deployment wants raw segment streams)."""
+    import jpegtpu.kernels.entropy_pack as epk
+
+    rng = np.random.default_rng(13)
+    cfg = EncoderConfig(quality=80, subsampling="420",
+                        restart_interval="rows", device_stuff=False)
+    imgs = rng.integers(0, 256, (2, 64, 48, 3), dtype=np.uint8)
+    singles = [Encoder(cfg).encode(im) for im in imgs]
+    monkeypatch.setattr(shard, "_pallas_entropy_ok",
+                        lambda cfg_, mps: True)
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    shard._build_sharded_pallas.cache_clear()
+    try:
+        sharded = shard.encode_batch_sharded(imgs, cfg, mesh24)
+    finally:
+        shard._build_sharded_pallas.cache_clear()
+    assert sharded == singles
+
+
 def test_norestart_sharded_dc_exchange(mesh24):
     """restart=0: the DC chain crosses shard boundaries via a ppermute
     exchange over the row axis; host merges shard bitstreams at bit level.

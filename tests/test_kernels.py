@@ -183,6 +183,39 @@ def test_seg_merge_v3_budget_chunks():
         np.testing.assert_array_equal(sw3[s, :n], sw1[s, :n])
 
 
+@pytest.mark.parametrize("n_seg,restart", [
+    (1, 4),        # single segment, tiny/ragged
+    (2, 12),       # segment length not a multiple of 8
+    (5, 16),       # aligned, several segments
+])
+def test_seg_merge_mcu_small_geometries(n_seg, restart):
+    """seg_merge_mcu must stay bit-identical to the v1 serial merge on
+    small/ragged geometries (whatever kernel it dispatches to)."""
+    rng = np.random.default_rng(n_seg * 31 + restart)
+    g = 6
+    n_mcu = n_seg * restart
+    c = _random_blocks(rng, n_mcu, g, 0.1, -63, 64)
+    cls = np.tile(np.array([0, 0, 0, 0, 1, 1], np.int32), n_mcu)
+    dcd = np.asarray(scan.dc_diffs(jnp.asarray(c), 4, restart))
+    words, blens = ep.block_pack(jnp.asarray(c.reshape(-1, 64)),
+                                 jnp.asarray(cls),
+                                 jnp.asarray(dcd.reshape(-1)))
+    chunks, cap_bits = ep.mcu_capacity(g, 384)
+    assert chunks == 1
+    mw, ml = ep.mcu_merge(words, blens, g, chunks)
+    assert int(jnp.max(ml)) <= cap_bits
+    bps, w_cap = restart * g, 4096
+    sw1, sb1 = ep.seg_merge(words, blens, n_seg, bps, w_cap)
+    sw2, sb2, mx = ep.seg_merge_mcu(mw, ml, n_seg, restart, w_cap)
+    assert int(mx) == int(np.asarray(ml).max())
+    np.testing.assert_array_equal(np.asarray(sb1), np.asarray(sb2))
+    sw1, sw2 = np.asarray(sw1), np.asarray(sw2)
+    for s in range(n_seg):
+        n = (int(sb1[s]) + 31) // 32
+        np.testing.assert_array_equal(sw2[s, :n], sw1[s, :n],
+                                      err_msg=f"segment {s}")
+
+
 def test_mcu_merge_against_block_oracle():
     """Pre-merged MCU stream == sequentially packed concatenation."""
     rng = np.random.default_rng(3)

@@ -51,7 +51,9 @@ from jpegtpu.entropy import huffman_tables as ht
 # Per-block word capacity: 63 AC * 26 bits + DC 22 bits = 1660 bits -> 52
 # words; +1 spill word, padded to 56 for layout friendliness.
 BLOCK_WORDS = 56
-_TILE = 256  # two-block rows per grid step in kernel B
+_TILE = 512  # MCU rows per grid step in kernel B / block_pack_mcu
+# (TPU sweep 2026-08: 512 -> 2.46 ms vs 2.56 ms at 256 on a 4K g=6
+# frame; 1024 exceeds VMEM. scripts/tpu_probe_bp_tile.py)
 
 
 def _interpret() -> bool:

@@ -46,9 +46,16 @@ class BatchGeometryError(ValueError):
     genuine input errors raise plain ValueError and propagate)."""
 
 
-def _pixel_path(img, quality: str, subsampling: str, use_fused: bool):
+def _pixel_path(img, quality: str, subsampling: str, use_fused: bool,
+                kernel: bool = False):
+    """kernel=True (the Pallas production paths) runs the in-VMEM tiling
+    pixel kernel — bit-identical to the fused XLA twin, which the oracle
+    path keeps (architecture invariant: every Pallas kernel has an XLA
+    oracle twin)."""
     if use_fused:
         from jpegtpu.kernels import fused_dctq
+        if kernel:
+            return fused_dctq.encode_blocks_pallas(img, quality, subsampling)
         return fused_dctq.encode_blocks(img, quality, subsampling)
     return ops.encode_blocks(img, quality, subsampling)
 
@@ -83,7 +90,7 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
     markers and a total-byte count is appended to the return."""
     from jpegtpu.kernels import entropy_pack
     n_luma = _n_luma(subsampling)
-    coeffs = _pixel_path(img, quality, subsampling, use_fused)
+    coeffs = _pixel_path(img, quality, subsampling, use_fused, kernel=True)
     n_mcu, b, _ = coeffs.shape
     dcd = scan.dc_diffs(coeffs, n_luma, restart).reshape(-1)
     cls = (jnp.arange(n_mcu * b, dtype=jnp.int32) % b >= n_luma)
@@ -125,7 +132,7 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
     """
     from jpegtpu.kernels import entropy_pack
     n_luma = _n_luma(subsampling)
-    coeffs = _pixel_path(imgs, quality, subsampling, use_fused)
+    coeffs = _pixel_path(imgs, quality, subsampling, use_fused, kernel=True)
     bsz, n_mcu, b, _ = coeffs.shape
     flat = coeffs.reshape(bsz * n_mcu, b, 64)
     dcd = scan.dc_diffs(flat, n_luma, restart).reshape(-1)

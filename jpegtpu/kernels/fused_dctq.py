@@ -29,8 +29,15 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from jpegtpu.core import ops, tables
+
+
+def _interpret() -> bool:
+    """Pallas interpreter mode off-TPU (tests on the CPU backend)."""
+    return jax.default_backend() != "tpu"
 
 
 @functools.lru_cache(maxsize=32)
@@ -97,6 +104,82 @@ def mcu_tiles(img: jax.Array, mh: int, mw: int) -> jax.Array:
     x = img.reshape(*b, h // mh, mh, w // mw, mw, 3)
     x = jnp.swapaxes(x, -4, -3)
     return x.reshape(*b, (h // mh) * (w // mw), mh * mw * 3)
+
+
+def _pixel_kernel(x_ref, m_ref, b_ref, o_ref, scr, *, r_blk, nrx, mh,
+                  row_bytes):
+    """One MCU-geometry matmul straight from the natural image layout.
+
+    x_ref [r_blk, mh, nrx, row_bytes] i8 is a FREE reshape of the padded
+    image XOR 0x80 (x - 128 in i8; Mosaic cannot cast u8 -> f32, so the
+    exact u8 values are restored as f + 128.0 — exact in f32). Each MCU
+    row assembles its [nrx, in_dim] tile matrix in VMEM scratch (static
+    unaligned lane writes) and runs ONE K=in_dim MXU matmul — the
+    [nMCU, in_dim] tile tensor never exists in HBM, killing the byte
+    tiling transpose that dominated the XLA formulation (~1.1 of 1.5 ms;
+    scripts/tpu_probe_pixel*, tpu_probe_pixel_pallas).
+    """
+    for b in range(r_blk):
+        for y in range(mh):
+            scr[:, y * row_bytes:(y + 1) * row_bytes] = \
+                x_ref[b, y].astype(jnp.float32) + 128.0
+        acc = jnp.dot(scr[...], m_ref[...],
+                      preferred_element_type=jnp.float32) + b_ref[...]
+        r = jnp.sign(acc) * jnp.floor(jnp.abs(acc) + 0.5)
+        o_ref[b * nrx:(b + 1) * nrx, :] = r.astype(jnp.int32)
+
+
+def encode_blocks_pallas(img: jax.Array, quality: int,
+                         subsampling: str) -> jax.Array:
+    """Production pixel path: bit-identical to encode_blocks (the XLA
+    twin, asserted in tests/test_kernels.py and on hardware by
+    scripts/tpu_bisect.py), computed by a Pallas kernel that never
+    materializes the MCU tile matrix. Falls back to the XLA path for
+    geometries the kernel does not cover."""
+    if subsampling != "420":
+        return encode_blocks(img, quality, subsampling)
+    mh, mw = ops.mcu_shape(subsampling)
+    row_bytes = mw * 3
+    in_dim = mh * row_bytes
+    m, bias = mcu_operator(quality, subsampling)
+    out_dim = m.shape[1]
+    padded = ops.pad_to_multiple(jnp.asarray(img), (mh, mw))
+    *b, h, w, _ = padded.shape
+    nry, nrx = h // mh, w // mw
+    n_mcu = nry * nrx
+    bsz = int(np.prod(b)) if b else 1
+    rows = bsz * nry
+    # grid step size: keep ~1k MCUs per step, bounded by VMEM
+    r_blk = max(1, min(8, -(-960 // nrx)))
+    pad_rows = (-rows) % r_blk
+    x = (padded ^ jnp.uint8(0x80)).view(jnp.int8)
+    x = x.reshape(rows, mh, nrx, row_bytes)
+    if pad_rows:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad_rows, mh, nrx, row_bytes), jnp.int8)])
+    grid_rows = rows + pad_rows
+    kernel = functools.partial(_pixel_kernel, r_blk=r_blk, nrx=nrx,
+                               mh=mh, row_bytes=row_bytes)
+    y = pl.pallas_call(
+        kernel,
+        grid=(grid_rows // r_blk,),
+        in_specs=[
+            pl.BlockSpec((r_blk, mh, nrx, row_bytes), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_dim, out_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r_blk * nrx, out_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid_rows * nrx, out_dim),
+                                       jnp.int32),
+        scratch_shapes=[pltpu.VMEM((nrx, in_dim), jnp.float32)],
+        interpret=_interpret(),
+    )(x, jnp.asarray(m), jnp.asarray(bias.reshape(1, out_dim)))
+    y = y[:rows * nrx]
+    return y.reshape(*b, n_mcu, out_dim // 64, 64)
 
 
 def encode_blocks(img: jax.Array, quality: int, subsampling: str) -> jax.Array:

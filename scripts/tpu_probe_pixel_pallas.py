@@ -70,14 +70,13 @@ def main():
     bias_j = jnp.asarray(bias128.reshape(1, 384).astype(np.float32))
 
     def kern_asm_u8(x_ref, m_ref, b_ref, o_ref, scr, *, r_blk):
-        """Exactness variant: input bytes viewed as i8, restored to the
-        EXACT u8 values in f32 (f + 256 where f < 0), one K=768 dot with
-        the ORIGINAL bias — same operand values as the XLA path, so any
-        residual diff is pure MXU-tiling order."""
+        """Exactness variant: input is the XOR-biased i8 (x - 128);
+        restore the EXACT u8 values in f32 (f + 128, exact for integer
+        f32), one K=768 dot with the ORIGINAL bias — same operand values
+        as the XLA path, so any residual diff is pure MXU-tiling order."""
         for b in range(r_blk):
             for y in range(16):
-                f = x_ref[b, y].astype(jnp.float32)         # [240, 48]
-                f = jnp.where(f < 0, f + 256.0, f)
+                f = x_ref[b, y].astype(jnp.float32) + 128.0  # [240, 48]
                 scr[:, y * 48:(y + 1) * 48] = f
             acc = jnp.dot(scr[...], m_ref[...],
                           preferred_element_type=jnp.float32) + \

@@ -9,6 +9,7 @@ from jpegtpu.config import EncoderConfig
 from jpegtpu.dist import mesh as mesh_lib
 from jpegtpu.dist import shard
 from jpegtpu.encoder import Encoder
+from jpegtpu.kernels import fused_dctq
 
 
 @pytest.fixture(scope="module")
@@ -65,6 +66,7 @@ def test_sharded_pallas_entropy_path(mesh24, monkeypatch):
     monkeypatch.setattr(shard, "_pallas_entropy_ok",
                         lambda cfg_, mps: True)
     monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
     shard._build_sharded_pallas.cache_clear()
     try:
         sharded = shard.encode_batch_sharded(imgs, cfg, mesh24)
@@ -85,6 +87,7 @@ def test_sharded_pallas_row_padding(mesh24, monkeypatch):
     monkeypatch.setattr(shard, "_pallas_entropy_ok",
                         lambda cfg_, mps: True)
     monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
     shard._build_sharded_pallas.cache_clear()
     try:
         sharded = shard.encode_batch_sharded(imgs, cfg, mesh24)
@@ -107,6 +110,7 @@ def test_sharded_pallas_marker_cycle_across_shards(mesh24, monkeypatch):
     monkeypatch.setattr(shard, "_pallas_entropy_ok",
                         lambda cfg_, mps: True)
     monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
     shard._build_sharded_pallas.cache_clear()
     try:
         sharded = shard.encode_batch_sharded(imgs, cfg, mesh24)
@@ -128,6 +132,7 @@ def test_sharded_pallas_host_stuff_tier(mesh24, monkeypatch):
     monkeypatch.setattr(shard, "_pallas_entropy_ok",
                         lambda cfg_, mps: True)
     monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
     shard._build_sharded_pallas.cache_clear()
     try:
         sharded = shard.encode_batch_sharded(imgs, cfg, mesh24)

@@ -363,6 +363,33 @@ def test_fused_dctq_odd_sizes():
     assert np.abs(a - b).max() <= 1
 
 
+@pytest.mark.parametrize("shape", [(64, 96, 3), (33, 17, 3), (16, 16, 3),
+                                   (2, 48, 32, 3)])
+@pytest.mark.parametrize("quality", [35, 90])
+def test_pixel_kernel_bit_exact_vs_twin(shape, quality):
+    """The Pallas pixel kernel must be BIT-identical to its XLA twin
+    (encode_blocks) — it is the production pixel path on the Pallas
+    entropy paths, and scripts/tpu_bisect.py extends this check to real
+    hardware."""
+    rng = np.random.default_rng(quality + sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    a = np.asarray(fused_dctq.encode_blocks(jnp.asarray(img), quality,
+                                            "420"))
+    b = np.asarray(fused_dctq.encode_blocks_pallas(jnp.asarray(img),
+                                                   quality, "420"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pixel_kernel_non420_falls_back():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    for sub in ("444", "422"):
+        a = np.asarray(fused_dctq.encode_blocks(jnp.asarray(img), 80, sub))
+        b = np.asarray(fused_dctq.encode_blocks_pallas(jnp.asarray(img),
+                                                       80, sub))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_encode_batch_fused_matches_single(monkeypatch):
     """Batched device program must produce byte-identical files to the
     per-image path (interpret mode)."""
@@ -378,6 +405,7 @@ def test_encode_batch_fused_matches_single(monkeypatch):
 
     monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
     enc_mod._jitted_encode.cache_clear()
     enc_mod._jitted_encode_batch.cache_clear()
     try:
@@ -402,6 +430,7 @@ def test_pallas_path_ragged_restart(monkeypatch):
 
     monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
     enc_mod._jitted_encode.cache_clear()
     try:
         pallas_bytes = enc_mod.Encoder(cfg).encode(img)
@@ -425,6 +454,7 @@ def test_budget_escalation(monkeypatch):
 
     monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
     monkeypatch.setattr(enc_mod, "DEFAULT_BITS_BUDGET", 48)  # force overflow
     enc_mod._jitted_encode.cache_clear()
     try:
@@ -451,6 +481,7 @@ def test_encoder_pallas_entropy_path_end_to_end(monkeypatch):
     # interpret-mode detection keys off the real backend, so patch it too
     import jpegtpu.kernels.entropy_pack as epk
     monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
     enc_mod._jitted_encode.cache_clear()
     try:
         pallas_bytes = enc_mod.Encoder(cfg).encode(img)

@@ -46,18 +46,26 @@ class BatchGeometryError(ValueError):
     genuine input errors raise plain ValueError and propagate)."""
 
 
-def _pixel_path(img, quality: str, subsampling: str, use_fused: bool,
-                kernel: bool = False):
-    """kernel=True (the Pallas production paths) runs the in-VMEM tiling
-    pixel kernel — bit-identical to the fused XLA twin, which the oracle
-    path keeps (architecture invariant: every Pallas kernel has an XLA
-    oracle twin)."""
+def _pixel_path(img, quality: str, subsampling: str, use_fused: bool):
     if use_fused:
         from jpegtpu.kernels import fused_dctq
-        if kernel:
-            return fused_dctq.encode_blocks_pallas(img, quality, subsampling)
         return fused_dctq.encode_blocks(img, quality, subsampling)
     return ops.encode_blocks(img, quality, subsampling)
+
+
+def _pixel_path_pairs(img, quality: str, subsampling: str, use_fused: bool):
+    """Pixel path for the Pallas production programs, in the pairs/native
+    layout [..., nMCU, B*64] (block-major columns). On supported
+    geometries this is the in-VMEM tiling Pallas kernel — bit-identical
+    to the fused XLA twin, which the oracle path keeps (architecture
+    invariant: every Pallas kernel has an XLA oracle twin). The form
+    feeds entropy_pack.block_pack_mcu_pairs with zero relayout."""
+    from jpegtpu.kernels import fused_dctq
+    if use_fused:
+        return fused_dctq.encode_blocks_pairs(img, quality, subsampling)
+    c = ops.encode_blocks(img, quality, subsampling)
+    *b, n_mcu, nb, _ = c.shape
+    return c.reshape(*b, n_mcu, nb * 64)
 
 
 def _n_luma(subsampling: str) -> int:
@@ -81,6 +89,28 @@ def _device_encode_xla(img, *, quality, subsampling, restart, n_seg,
                                   n_seg, mcus_per_seg * b)
 
 
+def _mcu_major_ok(pad_mcu: int, mps: int, chunks: int) -> bool:
+    """MCU-major block_pack->seg_merge handoff: measured SLOWER than the
+    transpose path and disabled (negative result, kept tested).
+
+    The handoff skips seg_merge_mcu's [n_seg, mps] -> [G, mps, S]
+    transpose of the 50 MB stream tensor by letting block_pack emit
+    seg_merge's native block order (one segment per grid step). An
+    interleaved on-chip A/B (scripts/tpu_ab_mcumajor.py, 6 reps, valid
+    streams bit-identical) measured 6.90 vs 6.73 ms/4K frame: XLA fuses
+    the transpose into the adjacent pad copy (~0.4 ms, cheaper than the
+    1.2 ms the anonymized trace suggested), while forcing block_pack's
+    grid tile from 512 down to mps=240 costs more than the copy saves.
+    Applicability gate (exact unragged grids, 8 | mps per the Mosaic
+    block rule, per-segment block within VMEM budget) kept so tests can
+    re-enable via _MCU_MAJOR_ENABLED."""
+    return (_MCU_MAJOR_ENABLED and pad_mcu == 0 and mps % 8 == 0 and
+            mps * chunks * 512 <= (2 << 20))
+
+
+_MCU_MAJOR_ENABLED = False
+
+
 def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
                           mcus_per_seg, bits_budget, use_fused,
                           device_stuff=False):
@@ -90,23 +120,35 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
     markers and a total-byte count is appended to the return."""
     from jpegtpu.kernels import entropy_pack
     n_luma = _n_luma(subsampling)
-    coeffs = _pixel_path(img, quality, subsampling, use_fused, kernel=True)
-    n_mcu, b, _ = coeffs.shape
-    dcd = scan.dc_diffs(coeffs, n_luma, restart).reshape(-1)
+    coeffs = _pixel_path_pairs(img, quality, subsampling, use_fused)
+    n_mcu, bx64 = coeffs.shape
+    b = bx64 // 64
+    dcd = scan.dc_diffs_from_dc(coeffs[:, ::64], n_luma,
+                                restart).reshape(-1)
     cls = (jnp.arange(n_mcu * b, dtype=jnp.int32) % b >= n_luma)
     bps = mcus_per_seg * b
     w_cap = -(-bps * bits_budget // 32)
     mcu_chunks, _ = entropy_pack.mcu_capacity(b, bits_budget)
-    mwords, mlens = entropy_pack.block_pack_mcu(
-        coeffs.reshape(-1, 64), cls.astype(jnp.int32), dcd, b, mcu_chunks)
     pad_mcu = n_seg * mcus_per_seg - n_mcu
-    if pad_mcu:  # ragged last segment: append silent (zero-length) MCUs
-        mwords = jnp.concatenate(
-            [mwords, jnp.zeros((pad_mcu, mwords.shape[1]), mwords.dtype)])
-        mlens = jnp.concatenate(
-            [mlens, jnp.zeros(pad_mcu, mlens.dtype)])
-    seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
-        mwords, mlens, n_seg, mcus_per_seg, w_cap)
+    if _mcu_major_ok(pad_mcu, mcus_per_seg, mcu_chunks):
+        # MCU-major handoff: block_pack emits seg_merge's native block
+        # order, skipping the 50 MB transpose (scripts/tpu_trace_ab.py)
+        mwords, mlens = entropy_pack.block_pack_mcu_pairs(
+            coeffs, cls.astype(jnp.int32), dcd, b, mcu_chunks,
+            mcu_major_segs=n_seg)
+        seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
+            mwords, mlens, n_seg, mcus_per_seg, w_cap, mcu_major=True)
+    else:
+        mwords, mlens = entropy_pack.block_pack_mcu_pairs(
+            coeffs, cls.astype(jnp.int32), dcd, b, mcu_chunks)
+        if pad_mcu:  # ragged last segment: append silent (0-length) MCUs
+            mwords = jnp.concatenate(
+                [mwords,
+                 jnp.zeros((pad_mcu, mwords.shape[1]), mwords.dtype)])
+            mlens = jnp.concatenate(
+                [mlens, jnp.zeros(pad_mcu, mlens.dtype)])
+        seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
+            mwords, mlens, n_seg, mcus_per_seg, w_cap)
     # Device compaction: only the actual compressed bytes ever cross the
     # host link (which can be slow — e.g. a tunneled chip).
     frames_per_seg = seg_words.shape[1] // 1024
@@ -132,18 +174,28 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
     """
     from jpegtpu.kernels import entropy_pack
     n_luma = _n_luma(subsampling)
-    coeffs = _pixel_path(imgs, quality, subsampling, use_fused, kernel=True)
-    bsz, n_mcu, b, _ = coeffs.shape
-    flat = coeffs.reshape(bsz * n_mcu, b, 64)
-    dcd = scan.dc_diffs(flat, n_luma, restart).reshape(-1)
+    coeffs = _pixel_path_pairs(imgs, quality, subsampling, use_fused)
+    bsz, n_mcu, bx64 = coeffs.shape
+    b = bx64 // 64
+    flat = coeffs.reshape(bsz * n_mcu, bx64)
+    dcd = scan.dc_diffs_from_dc(flat[:, ::64], n_luma,
+                                restart).reshape(-1)
     cls = (jnp.arange(bsz * n_mcu * b, dtype=jnp.int32) % b >= n_luma)
     bps = mcus_per_seg * b
     w_cap = -(-bps * bits_budget // 32)
     mcu_chunks, _ = entropy_pack.mcu_capacity(b, bits_budget)
-    mwords, mlens = entropy_pack.block_pack_mcu(
-        flat.reshape(-1, 64), cls.astype(jnp.int32), dcd, b, mcu_chunks)
-    seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
-        mwords, mlens, bsz * n_seg, mcus_per_seg, w_cap)
+    if _mcu_major_ok(0, mcus_per_seg, mcu_chunks):
+        mwords, mlens = entropy_pack.block_pack_mcu_pairs(
+            flat, cls.astype(jnp.int32), dcd, b, mcu_chunks,
+            mcu_major_segs=bsz * n_seg)
+        seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
+            mwords, mlens, bsz * n_seg, mcus_per_seg, w_cap,
+            mcu_major=True)
+    else:
+        mwords, mlens = entropy_pack.block_pack_mcu_pairs(
+            flat, cls.astype(jnp.int32), dcd, b, mcu_chunks)
+        seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
+            mwords, mlens, bsz * n_seg, mcus_per_seg, w_cap)
     frames_per_seg = seg_words.shape[1] // 1024
     if device_stuff:
         stream, img_off, total = entropy_pack.compact_segments_stuffed(

@@ -66,7 +66,15 @@ def dc_diffs(coeffs: jax.Array, n_luma: int, restart: int,
     block of each component — used by the no-restart sharded mode, where a
     row shard receives its predecessor's last DC over ICI (ppermute).
     """
-    n_mcu, b, _ = coeffs.shape
+    return dc_diffs_from_dc(coeffs[:, :, 0], n_luma, restart, init_dc)
+
+
+def dc_diffs_from_dc(dc: jax.Array, n_luma: int, restart: int,
+                     init_dc=None) -> jax.Array:
+    """dc_diffs from the DC slots alone: dc [nM, B] -> [nM, B] int32.
+    Used by the pairs-form production path, which slices DC columns
+    (every 64th) out of [nM, B*64] instead of carrying [nM, B, 64]."""
+    n_mcu, b = dc.shape
     out = []
     for comp, (comp_slots, per) in enumerate(
             (((0, n_luma), n_luma), ((n_luma, n_luma + 1), 1),
@@ -75,7 +83,7 @@ def dc_diffs(coeffs: jax.Array, n_luma: int, restart: int,
         lo, hi = min(lo, b), min(hi, b)
         if hi <= lo:
             continue
-        d = coeffs[:, lo:hi, 0].reshape(-1)
+        d = dc[:, lo:hi].reshape(-1)
         mod = (restart if restart > 0 else n_mcu) * per
         idx = jnp.arange(d.shape[0], dtype=jnp.int32)
         init = (jnp.asarray(init_dc)[comp] if init_dc is not None

@@ -512,8 +512,10 @@ def _block_pack_mcu_kernel(coeffs_ref, cls_ref, dcd_ref, ac_tbl_ref,
             gat = jnp.take_along_axis(sh, jnp.clip(idx, 0, 127), axis=1)
             out_chunks[ci] = out_chunks[ci] | jnp.where(valid, gat, 0)
         off = off + pair_tot[p][:, hh:hh + 1]
-    mwords_ref[...] = jnp.concatenate(out_chunks, axis=1)
-    mlens_ref[...] = off
+    # ref shapes differ by a unit middle dim in mcu-major mode
+    mwords_ref[...] = jnp.concatenate(
+        out_chunks, axis=1).reshape(mwords_ref.shape)
+    mlens_ref[...] = off.reshape(mlens_ref.shape)
 
 
 def block_pack_mcu(coeffs: jax.Array, cls: jax.Array, dcdiff: jax.Array,
@@ -524,31 +526,89 @@ def block_pack_mcu(coeffs: jax.Array, cls: jax.Array, dcdiff: jax.Array,
     see _block_pack_mcu_kernel."""
     n = coeffs.shape[0]
     assert n % g == 0
-    nm = n // g
+    return block_pack_mcu_pairs(coeffs.reshape(n // g, g * 64), cls,
+                                dcdiff, g, chunks)
+
+
+def block_pack_mcu_pairs(c2: jax.Array, cls: jax.Array, dcdiff: jax.Array,
+                         g: int, chunks: int | None = None,
+                         mcu_major_segs: int | None = None):
+    """block_pack_mcu on the pairs/native form: c2 [nM, g*64] with
+    block-major columns (block i's zigzag slots at columns [64i, 64i+64))
+    — the device kernel's own input layout, so production paths whose
+    pixel path already emits this form (fused_dctq.encode_blocks_pairs)
+    avoid the [N, 64] relayout entirely (~1.4 ms/4K frame, see
+    scripts/tpu_trace_ab.py). cls/dcdiff stay flat [nM*g].
+
+    mcu_major_segs = n_seg emits the stream words MCU-MAJOR — mwords
+    [mps, n_seg_p * chunks*128] with mps = nM // n_seg and n_seg_p =
+    n_seg rounded up to 8 — by running one segment per grid step and
+    writing its streams as a lane-column block (mlens stays flat
+    segment-major). This is seg_merge_mcu's kernel-native input order,
+    turning its 50 MB [n_seg, mps] -> [G, mps, S] transpose (~1.2 ms/4K
+    frame in-context, scripts/tpu_trace_ab.py; XLA layout-optimizes it
+    away standalone but cannot against a pallas_call consumer) into a
+    free lane-split reshape. The 2D form is forced by Mosaic's block
+    rule (last two block dims divisible by (8, 128) or full): block
+    (mps, chunks*128) over [mps, n_seg_p*chunks*128] qualifies, a
+    (mps, 1, CW) block over [mps, n_seg, CW] does not. Columns of
+    segments in [n_seg, n_seg_p) are never written: their off/len are
+    zero downstream, every window row they touch belongs to a padded
+    segment, and those output rows are sliced off — asserted by the
+    byte-parity tests. Requires n_seg | nM and 8 | mps."""
+    nm = c2.shape[0]
     if chunks is None:
         chunks = -(-(g * 52 + 2) // 128)
-    tile = _TILE
-    pad = (-nm) % tile
-    if pad:
-        coeffs = jnp.concatenate(
-            [coeffs, jnp.zeros((pad * g, 64), coeffs.dtype)])
-        cls = jnp.concatenate([cls.reshape(-1),
-                               jnp.zeros(pad * g, cls.dtype)])
-        dcdiff = jnp.concatenate([dcdiff.reshape(-1),
-                                  jnp.zeros(pad * g, dcdiff.dtype)])
-        mw, ml = block_pack_mcu(coeffs, cls, dcdiff, g, chunks)
-        return mw[:nm], ml[:nm]
+    if mcu_major_segs:
+        assert nm % mcu_major_segs == 0
+        tile = nm // mcu_major_segs                     # = mps
+        assert tile % 8 == 0
+    else:
+        tile = _TILE
+        pad = (-nm) % tile
+        if pad:
+            c2 = jnp.concatenate(
+                [c2, jnp.zeros((pad, c2.shape[1]), c2.dtype)])
+            cls = jnp.concatenate([cls.reshape(-1),
+                                   jnp.zeros(pad * g, cls.dtype)])
+            dcdiff = jnp.concatenate([dcdiff.reshape(-1),
+                                      jnp.zeros(pad * g, dcdiff.dtype)])
+            mw, ml = block_pack_mcu_pairs(c2, cls, dcdiff, g, chunks)
+            return mw[:nm], ml[:nm]
     g2 = (g + 1) // 2
-    c3 = coeffs.reshape(nm, g, 64)
     cls2 = cls.reshape(nm, g)
     dcd2 = dcdiff.reshape(nm, g)
     if g != 2 * g2:                                     # odd g: dummy block
-        c3 = jnp.pad(c3, ((0, 0), (0, 1), (0, 0)))
+        c2 = jnp.pad(c2, ((0, 0), (0, 64)))
         cls2 = jnp.pad(cls2, ((0, 0), (0, 1)))
         dcd2 = jnp.pad(dcd2, ((0, 0), (0, 1)))
     ac_tbl = jnp.asarray(_lut_tables())
     dc_tbl = jnp.asarray(_dc_tables())
     kernel = functools.partial(_block_pack_mcu_kernel, g=g, chunks=chunks)
+    if mcu_major_segs:
+        n_seg_p = -(-mcu_major_segs // 8) * 8
+        out_specs = (
+            pl.BlockSpec((tile, chunks * 128), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((tile, n_seg_p * chunks * 128),
+                                 jnp.uint32),
+            jax.ShapeDtypeStruct((nm, 1), jnp.int32),
+        )
+    else:
+        out_specs = (
+            pl.BlockSpec((tile, chunks * 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((nm, chunks * 128), jnp.uint32),
+            jax.ShapeDtypeStruct((nm, 1), jnp.int32),
+        )
     mw, ml = pl.pallas_call(
         kernel,
         grid=(nm // tile,),
@@ -564,18 +624,10 @@ def block_pack_mcu(coeffs: jax.Array, cls: jax.Array, dcdiff: jax.Array,
             pl.BlockSpec((1, 128), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((tile, chunks * 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nm, chunks * 128), jnp.uint32),
-            jax.ShapeDtypeStruct((nm, 1), jnp.int32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
-    )(c3.reshape(nm, 2 * g2 * 64), cls2, dcd2, ac_tbl, dc_tbl)
+    )(c2, cls2, dcd2, ac_tbl, dc_tbl)
     return mw, ml.reshape(nm)
 
 
@@ -722,7 +774,7 @@ def seg_merge_v2(words: jax.Array, lens: jax.Array, n_seg: int, bps: int,
 def _seg_merge_v3_kernel(mwords_ref, off_ref, len_ref, map_ref, out_ref,
                          win_ref, stage_ref, sem_out,
                          *, mb: int, m_steps: int, chunks: int, s_rows: int,
-                         frames: int):
+                         frames: int, mcu_major: bool = False):
     """Sublane-vectorized segment merge: S segments advance together.
 
     Each grid step (g, m) appends `mb` MCU streams to each of `s_rows`
@@ -764,7 +816,8 @@ def _seg_merge_v3_kernel(mwords_ref, off_ref, len_ref, map_ref, out_ref,
         win = list(win)
         o = off_ref[0, j]                                # [S, 1] i32
         l = len_ref[0, j]                                # [S, 1]
-        s = mwords_ref[0, j]                             # [S, CW] u32
+        # mcu-major mode blocks are [mb, 1, S, CW] (j outermost)
+        s = mwords_ref[j, 0] if mcu_major else mwords_ref[0, j]  # [S, CW]
         r = (o & 31).astype(jnp.uint32)
 
         # funnel shift right by r bits across the whole stream (branch-free
@@ -917,11 +970,24 @@ def seg_merge_v3(words: jax.Array, lens: jax.Array, n_seg: int, bps: int,
 
 
 def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
-                  mps: int, w_cap: int, block_mcus: int | None = None):
+                  mps: int, w_cap: int, block_mcus: int | None = None,
+                  mcu_major: bool = False):
     """seg_merge_v3's serial-window phase on pre-merged MCU streams
-    ([nm, chunks*128] u32 + [nm] i32, e.g. from block_pack_mcu)."""
-    chunks = mwords.shape[1] // 128
-    nm = mwords.shape[0]
+    ([nm, chunks*128] u32 + [nm] i32, e.g. from block_pack_mcu).
+
+    mcu_major: mwords is [mps, n_seg_p * chunks*128] MCU-major
+    (block_pack_mcu_pairs with mcu_major_segs; n_seg_p = n_seg rounded
+    up to 8) — the kernel's own block order, so the input prep is a
+    free lane-split reshape instead of a full-tensor transpose. mlens
+    stays flat segment-major [nm] in both modes."""
+    if mcu_major:
+        n_seg_p8 = -(-n_seg // 8) * 8
+        chunks = mwords.shape[1] // n_seg_p8 // 128
+        nm = mwords.shape[0] * n_seg
+        assert mwords.shape == (mps, n_seg_p8 * chunks * 128)
+    else:
+        chunks = mwords.shape[1] // 128
+        nm = mwords.shape[0]
     assert nm == n_seg * mps
     max_mcu_bits = jnp.max(mlens)
 
@@ -942,6 +1008,13 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
     # (block_mcus overrides for tests that force multi-step streaming).
     mb = block_mcus or max(
         8, min(mps, (1 << 20) // max(1, s_rows * chunks * 128 * 4)))
+    if mcu_major and not block_mcus:
+        # Mosaic wants the (mb, 1, S, CW) block's outer dim well-formed
+        # and mb | mps skips a 50 MB zero-pad copy; mps % 8 == 0 is a
+        # caller precondition, so the walk always terminates.
+        mb = max(8, mb // 8 * 8)
+        while mps % mb and mb > 8:
+            mb -= 8
     mps_p = -(-mps // mb) * mb
     m_steps = mps_p // mb
 
@@ -959,7 +1032,13 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
         tail = jnp.broadcast_to(csum[:, -1:], (n_seg, mps_p - mps))
         off_p = off_p.at[:n_seg, mps:].set(tail)
     len_p = _pad_seg_mcu(ml)
-    mw_p = _pad_seg_mcu(mwords.reshape(n_seg, mps, chunks * 128))
+    if mcu_major:
+        # zero rows are REQUIRED for padded MCUs (their streams OR into
+        # live window positions); padded-segment columns may hold
+        # anything (their window rows are never flushed into kept rows)
+        mw_m = jnp.pad(mwords, ((0, mps_p - mps), (0, 0)))
+    else:
+        mw_p = _pad_seg_mcu(mwords.reshape(n_seg, mps, chunks * 128))
 
     fstart = off_p >> 15
     crossed = ((off_p + len_p) >> 15) > fstart
@@ -971,22 +1050,31 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
         """[n_seg_p, mps_p, last] -> [G, mps_p, S, last]."""
         return x.reshape(n_groups, s_rows, mps_p, last).transpose(0, 2, 1, 3)
 
-    mw_k = _to_kernel(mw_p, chunks * 128)
     off_k = _to_kernel(off_p[..., None], 1)
     len_k = _to_kernel(len_p[..., None], 1)
     map_k = fmap.reshape(n_groups, mps_p, 1, 1)
+    if mcu_major:
+        # [mps_p, n_seg_p*CW] -> [mps_p, G, S, CW] is a free lane-split
+        # reshape; the BlockSpec addresses (mi, gi) blocks directly.
+        mw_k = mw_m.reshape(mps_p, n_groups, s_rows, chunks * 128)
+        mw_spec = pl.BlockSpec((mb, 1, s_rows, chunks * 128),
+                               lambda gi, mi: (mi, gi, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        mw_k = _to_kernel(mw_p, chunks * 128)
+        mw_spec = pl.BlockSpec((1, mb, s_rows, chunks * 128),
+                               lambda gi, mi: (gi, mi, 0, 0),
+                               memory_space=pltpu.VMEM)
 
     frames = -(-w_cap // 1024) + 1
     kernel = functools.partial(
         _seg_merge_v3_kernel, mb=mb, m_steps=m_steps, chunks=chunks,
-        s_rows=s_rows, frames=frames)
+        s_rows=s_rows, frames=frames, mcu_major=mcu_major)
     out = pl.pallas_call(
         kernel,
         grid=(n_groups, m_steps),
         in_specs=[
-            pl.BlockSpec((1, mb, s_rows, chunks * 128),
-                         lambda gi, mi: (gi, mi, 0, 0),
-                         memory_space=pltpu.VMEM),
+            mw_spec,
             pl.BlockSpec((1, mb, s_rows, 1), lambda gi, mi: (gi, mi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mb, s_rows, 1), lambda gi, mi: (gi, mi, 0, 0),

@@ -136,8 +136,43 @@ def encode_blocks_pallas(img: jax.Array, quality: int,
     scripts/tpu_bisect.py), computed by a Pallas kernel that never
     materializes the MCU tile matrix. Falls back to the XLA path for
     geometries the kernel does not cover."""
+    y = encode_blocks_pallas_pairs(img, quality, subsampling)
+    *b, n_mcu, out_dim = y.shape
+    return y.reshape(*b, n_mcu, out_dim // 64, 64)
+
+
+def encode_blocks_pairs(img: jax.Array, quality: int,
+                        subsampling: str) -> jax.Array:
+    """Production pixel path in the pairs/native layout: [..., nMCU,
+    B*64] with block-major columns (block i's zigzag slots at columns
+    [64i, 64i+64)) — exactly the pair-major device input of
+    entropy_pack.block_pack_mcu ([T, G2*128]: pair p's 128 lanes hold
+    blocks 2p/2p+1), so downstream consumes it with zero relayout.
+
+    Computed by the XLA fused path: an in-context device-trace A/B
+    (scripts/tpu_trace_ab.py, tpu_ab_pixel.py) showed XLA fuses the MCU
+    tiling into neighbors down to ~0.25 ms/4K frame, while the Pallas
+    pixel kernel — 8x faster STANDALONE (0.21 vs 1.75 ms) — carries
+    ~0.45 ms of un-fusable input prep (pad + xor + 4D relayout
+    materialization) in the full program: 6.7 vs 7.1 ms/frame whole-
+    pipeline. encode_blocks_pallas_pairs keeps the kernel variant
+    hardware-validated for geometries where the trade flips (and as the
+    negative-result record)."""
+    c = encode_blocks(img, quality, subsampling)
+    *b, n_mcu, nb, _ = c.shape
+    return c.reshape(*b, n_mcu, nb * 64)
+
+
+def encode_blocks_pallas_pairs(img: jax.Array, quality: int,
+                               subsampling: str) -> jax.Array:
+    """encode_blocks_pallas in the kernel's NATIVE pairs layout (see
+    encode_blocks_pairs). Bit-identical to the XLA twin on hardware
+    (scripts/tpu_probe_pixel_pallas.py: exact u8 operand restore); falls
+    back to the XLA path for geometries the kernel does not cover."""
     if subsampling != "420":
-        return encode_blocks(img, quality, subsampling)
+        c = encode_blocks(img, quality, subsampling)
+        *b, n_mcu, nb, _ = c.shape
+        return c.reshape(*b, n_mcu, nb * 64)
     mh, mw = ops.mcu_shape(subsampling)
     row_bytes = mw * 3
     in_dim = mh * row_bytes
@@ -179,7 +214,7 @@ def encode_blocks_pallas(img: jax.Array, quality: int,
         interpret=_interpret(),
     )(x, jnp.asarray(m), jnp.asarray(bias.reshape(1, out_dim)))
     y = y[:rows * nrx]
-    return y.reshape(*b, n_mcu, out_dim // 64, 64)
+    return y.reshape(*b, n_mcu, out_dim)
 
 
 def encode_blocks(img: jax.Array, quality: int, subsampling: str) -> jax.Array:

@@ -488,3 +488,108 @@ def test_encoder_pallas_entropy_path_end_to_end(monkeypatch):
     finally:
         enc_mod._jitted_encode.cache_clear()
     assert pallas_bytes == xla_bytes
+
+
+@pytest.mark.parametrize("n_seg,mps", [(3, 8), (5, 24), (1, 16)])
+def test_block_pack_mcu_pairs_mcu_major(n_seg, mps):
+    """mcu_major_segs output == the flat output rearranged: column s of
+    [mps, n_seg, .] is segment s's MCU streams."""
+    rng = np.random.default_rng(7 * n_seg + mps)
+    g = 6
+    nm = n_seg * mps
+    c = _random_blocks(rng, nm, g, 0.2, -255, 256)
+    cls = (rng.random(nm * g) < 0.4).astype(np.int32)
+    dcd = rng.integers(-500, 500, nm * g).astype(np.int32)
+    chunks, _ = ep.mcu_capacity(g, 384)
+    c2 = jnp.asarray(c.reshape(nm, g * 64))
+    mw0, ml0 = ep.block_pack_mcu_pairs(c2, jnp.asarray(cls),
+                                       jnp.asarray(dcd), g, chunks)
+    mw1, ml1 = ep.block_pack_mcu_pairs(c2, jnp.asarray(cls),
+                                       jnp.asarray(dcd), g, chunks,
+                                       mcu_major_segs=n_seg)
+    n_seg_p = -(-n_seg // 8) * 8
+    assert mw1.shape == (mps, n_seg_p * chunks * 128)
+    got = np.asarray(mw1).reshape(mps, n_seg_p, chunks * 128)
+    np.testing.assert_array_equal(
+        np.asarray(mw0).reshape(n_seg, mps, -1).transpose(1, 0, 2),
+        got[:, :n_seg])
+    np.testing.assert_array_equal(np.asarray(ml0), np.asarray(ml1))
+
+
+@pytest.mark.parametrize("n_seg,restart", [(1, 8), (3, 16), (9, 24)])
+def test_seg_merge_mcu_mcu_major(n_seg, restart):
+    """seg_merge_mcu(mcu_major=True) on [mps, n_seg, CW] input must be
+    bit-identical to the segment-major path (incl. the n_seg > 8 case
+    that spans sublane groups and the mps padding path)."""
+    rng = np.random.default_rng(n_seg * 13 + restart)
+    g = 6
+    n_mcu = n_seg * restart
+    c = _random_blocks(rng, n_mcu, g, 0.1, -63, 64)
+    cls = np.tile(np.array([0, 0, 0, 0, 1, 1], np.int32), n_mcu)
+    dcd = np.asarray(scan.dc_diffs(jnp.asarray(c), 4, restart))
+    chunks, _ = ep.mcu_capacity(g, 384)
+    c2 = jnp.asarray(c.reshape(n_mcu, g * 64))
+    mw, ml = ep.block_pack_mcu_pairs(c2, jnp.asarray(cls),
+                                     jnp.asarray(dcd.reshape(-1)), g,
+                                     chunks)
+    mwm, _ = ep.block_pack_mcu_pairs(c2, jnp.asarray(cls),
+                                     jnp.asarray(dcd.reshape(-1)), g,
+                                     chunks, mcu_major_segs=n_seg)
+    w_cap = 4096
+    sw0, sb0, mx0 = ep.seg_merge_mcu(mw, ml, n_seg, restart, w_cap)
+    sw1, sb1, mx1 = ep.seg_merge_mcu(mwm, ml, n_seg, restart, w_cap,
+                                     mcu_major=True)
+    assert int(mx0) == int(mx1)
+    np.testing.assert_array_equal(np.asarray(sb0), np.asarray(sb1))
+    np.testing.assert_array_equal(np.asarray(sw0), np.asarray(sw1))
+
+
+def test_seg_merge_mcu_mcu_major_multistep(monkeypatch):
+    """mcu-major streaming across m grid steps (block_mcus < mps)."""
+    rng = np.random.default_rng(5)
+    g, n_seg, restart = 6, 2, 32
+    n_mcu = n_seg * restart
+    c = _random_blocks(rng, n_mcu, g, 0.15, -63, 64)
+    cls = np.tile(np.array([0, 0, 0, 0, 1, 1], np.int32), n_mcu)
+    dcd = np.asarray(scan.dc_diffs(jnp.asarray(c), 4, restart))
+    chunks, _ = ep.mcu_capacity(g, 384)
+    c2 = jnp.asarray(c.reshape(n_mcu, g * 64))
+    mw, ml = ep.block_pack_mcu_pairs(c2, jnp.asarray(cls),
+                                     jnp.asarray(dcd.reshape(-1)), g,
+                                     chunks)
+    mwm, _ = ep.block_pack_mcu_pairs(c2, jnp.asarray(cls),
+                                     jnp.asarray(dcd.reshape(-1)), g,
+                                     chunks, mcu_major_segs=n_seg)
+    w_cap = 8192
+    sw0, sb0, _ = ep.seg_merge_mcu(mw, ml, n_seg, restart, w_cap)
+    sw1, sb1, _ = ep.seg_merge_mcu(mwm, ml, n_seg, restart, w_cap,
+                                   mcu_major=True, block_mcus=8)
+    np.testing.assert_array_equal(np.asarray(sb0), np.asarray(sb1))
+    np.testing.assert_array_equal(np.asarray(sw0), np.asarray(sw1))
+
+
+def test_encoder_mcu_major_path_end_to_end(monkeypatch):
+    """The (disabled-by-default) MCU-major handoff must stay byte-
+    identical to the transpose path through the public encoder."""
+    import jpegtpu.encoder as enc_mod
+    import jpegtpu.kernels.entropy_pack as epk
+    from jpegtpu.config import EncoderConfig
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (64, 128, 3), dtype=np.uint8)
+    cfg = EncoderConfig(quality=75, subsampling="420",
+                        restart_interval="rows")
+    xla_bytes = enc_mod.Encoder(cfg).encode(img)
+
+    monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
+    monkeypatch.setattr(enc_mod, "_MCU_MAJOR_ENABLED", True)
+    # 64x128 rows-restart: mps = 8, divisible by 8 -> gate applies
+    assert enc_mod._mcu_major_ok(0, 8, 3)
+    enc_mod._jitted_encode.cache_clear()
+    try:
+        mm_bytes = enc_mod.Encoder(cfg).encode(img)
+    finally:
+        enc_mod._jitted_encode.cache_clear()
+    assert mm_bytes == xla_bytes

@@ -1097,6 +1097,57 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
     return out, seg_bits, max_mcu_bits
 
 
+def bit_join(seg_words: jax.Array, seg_bits: jax.Array, out_words: int):
+    """Concatenate S bit-streams into ONE at bit granularity — pure
+    vectorized XLA (masks + funnel shifts + word rolls), no kernel.
+
+    seg_words [S, Wv] u32 big-endian bit-packed, seg_bits [S] -> (joined
+    [out_words] u32, total_bits i32). Strips each stream's per-segment
+    byte 1-padding (seg_merge pads every segment tail) via the
+    bit-length masks and applies the T.81 F.1.2.3 final-byte 1-padding
+    to the JOINED stream. Each masked stream occupies disjoint bit
+    ranges after shifting, so plain ORs are exact. out_words must cover
+    sum(bits)/32 plus 2 words of funnel spill (no roll wraparound).
+
+    Purpose: restart_interval=0 produces ONE segment, which would leave
+    7 of 8 seg_merge sublane rows idle (555 vs 1215 MPix/s at 4K); the
+    encoder merges 8 VIRTUAL segments in parallel instead and bit-joins
+    them here (~0.2 ms of HBM passes replacing ~8 ms of idle-row serial
+    appends)."""
+    s, wv = seg_words.shape
+    sb = seg_bits.astype(jnp.int32)
+    starts = jnp.cumsum(sb) - sb
+    total = jnp.sum(sb)
+    idx = jnp.arange(wv, dtype=jnp.int32)
+    out = jnp.zeros(out_words, jnp.uint32)
+    for k in range(s):
+        nb = sb[k]
+        nw = (nb + 31) >> 5
+        r = (nb & 31).astype(jnp.uint32)
+        head = jnp.where(r > 0,
+                         ~jnp.right_shift(jnp.uint32(0xFFFFFFFF), r),
+                         jnp.uint32(0xFFFFFFFF))
+        m = jnp.where(idx < nw - 1, jnp.uint32(0xFFFFFFFF),
+                      jnp.where(idx == nw - 1, head, jnp.uint32(0)))
+        sk = seg_words[k] & jnp.where(nb > 0, m, jnp.uint32(0))
+        # funnel-shift right by the start's bit phase (branch-free carry)
+        t = (starts[k] & 31).astype(jnp.uint32)
+        prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), sk[:-1]])
+        sh = jnp.right_shift(sk, t) | \
+            jnp.left_shift(jnp.left_shift(prev, 1), (31 - t) & 31)
+        spill = jnp.left_shift(jnp.left_shift(sk[-1:], 1), (31 - t) & 31)
+        shp = jnp.concatenate(
+            [sh, spill, jnp.zeros(out_words - wv - 1, jnp.uint32)])
+        out = out | jnp.roll(shp, starts[k] >> 5)
+    padb = ((8 - (total & 7)) & 7).astype(jnp.uint32)
+    r = (total & 31).astype(jnp.uint32)
+    padval = jnp.left_shift(jnp.left_shift(jnp.uint32(1), padb) - 1,
+                            (32 - r - padb) & 31)
+    oidx = jnp.arange(out_words, dtype=jnp.int32)
+    out = out | jnp.where(oidx == (total >> 5), padval, jnp.uint32(0))
+    return out, total
+
+
 def _compact_kernel(bits_ref, frames_ref, out_ref, chunk_ref, flush_ref,
                     sem_in, sem_out, *, n_seg: int, f_per_seg: int):
     """Kernel D: concatenate trimmed segments into one contiguous stream.

@@ -37,8 +37,12 @@ def main():
     from jpegtpu.kernels import entropy_pack as ep
 
     extra_cfg = {}
+    override_kw = {}
     if variant == "nostuff":
         extra_cfg = dict(device_stuff=False)
+    elif variant == "r0":
+        # restart=0: the 8-way virtual-segment merge + device bit_join
+        override_kw = dict(restart_interval=0)
     elif variant == "chunks3":
         real_cap = ep.mcu_capacity
         ep.mcu_capacity = lambda g, bb: (-(-(g * 52 + 2) // 128), 10 ** 9)
@@ -56,6 +60,7 @@ def main():
 
     img = ppm.read_pnm("/root/reference/data/fruit.ppm")
     kw = dict(quality=90, subsampling="420", restart_interval="rows")
+    kw.update(override_kw)
     log(f"backend {jax.default_backend()} variant={variant}")
 
     t0 = time.time()

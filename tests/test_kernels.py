@@ -593,3 +593,69 @@ def test_encoder_mcu_major_path_end_to_end(monkeypatch):
     finally:
         enc_mod._jitted_encode.cache_clear()
     assert mm_bytes == xla_bytes
+
+
+def test_bit_join_matches_numpy_oracle():
+    """bit_join must concatenate big-endian bit streams exactly,
+    stripping per-stream byte padding and 1-padding the joined tail."""
+    rng = np.random.default_rng(9)
+    s, wv = 8, 6
+    bits = rng.integers(0, wv * 32 - 8, s).astype(np.int32)
+    bits[3] = 0                                  # empty stream
+    words = rng.integers(0, 2 ** 32, (s, wv), dtype=np.uint64)
+
+    def mask_np(w, nb):
+        out = []
+        for i in range(wv):
+            keep = min(max(nb - 32 * i, 0), 32)
+            m = 0 if keep == 0 else (0xFFFFFFFF << (32 - keep)) & 0xFFFFFFFF
+            out.append(int(w[i]) & m)
+        return out
+
+    bitstr = ""
+    for k in range(s):
+        for i, wd in enumerate(mask_np(words[k], int(bits[k]))):
+            take = min(max(int(bits[k]) - 32 * i, 0), 32)
+            bitstr += format(wd, "032b")[:take]
+    total = len(bitstr)
+    pad = (-total) % 8
+    bitstr += "1" * pad
+    bitstr += "0" * ((-len(bitstr)) % 32)
+    ref = np.array([int(bitstr[i:i + 32], 2)
+                    for i in range(0, len(bitstr), 32)], dtype=np.uint64)
+
+    out_words = 64
+    got, tot = ep.bit_join(jnp.asarray(words.astype(np.uint32)),
+                           jnp.asarray(bits), out_words)
+    got = np.asarray(got)
+    assert int(tot) == total
+    np.testing.assert_array_equal(got[:len(ref)], ref.astype(np.uint32))
+    assert not got[len(ref):].any()
+
+
+def test_encoder_restart0_virtual_split(monkeypatch):
+    """restart=0 takes the 8-way virtual-segment merge + bit_join path
+    and must stay byte-identical to the XLA oracle (incl. ragged splits
+    with empty virtual segments)."""
+    import jpegtpu.encoder as enc_mod
+    import jpegtpu.kernels.entropy_pack as epk
+    from jpegtpu.config import EncoderConfig
+
+    rng = np.random.default_rng(4)
+    for shape in ((64, 64, 3), (48, 48, 3), (33, 130, 3)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        cfg = EncoderConfig(quality=85, subsampling="420",
+                            restart_interval=0)
+        oracle = enc_mod.Encoder(
+            EncoderConfig(quality=85, subsampling="420", restart_interval=0,
+                          device_bitpack=False)).encode(img)
+        monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(epk, "_interpret", lambda: True)
+        monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
+        enc_mod._jitted_encode.cache_clear()
+        try:
+            pallas = enc_mod.Encoder(cfg).encode(img)
+        finally:
+            enc_mod._jitted_encode.cache_clear()
+            monkeypatch.undo()
+        assert pallas == oracle, shape

@@ -287,6 +287,58 @@ def _shard_fn_norestart(imgs, *, quality, subsampling, use_fused, n_row,
     return words, bits
 
 
+def _shard_fn_norestart_pallas(imgs, *, quality, subsampling, use_fused,
+                               n_row, bits_budget):
+    """No-restart sharded body on the Pallas entropy path: the same ICI
+    DC-predictor exchange as _shard_fn_norestart, then the fast kernels
+    per shard image — block_pack + 8-way VIRTUAL segment merge + device
+    bit_join (the single-device restart=0 machinery; virtual splits do
+    not touch DC prediction). Emits raw UNALIGNED bitstreams
+    (bit_join(pad_final=False)): the host joins shard streams at bit
+    level (native.merge_bitstreams), exactly as the XLA body."""
+    from jpegtpu.encoder import _VSEG, _pixel_path_pairs
+    from jpegtpu.kernels import entropy_pack
+    n_luma = _n_luma(subsampling)
+    coeffs = jax.vmap(lambda im: _pixel_path_pairs(
+        im, quality, subsampling, use_fused))(imgs)
+    b_loc, n_mcu, bx64 = coeffs.shape
+    b = bx64 // 64
+    dc_last = coeffs[:, -1, ::64]                  # [b_loc, b]
+    last_dc = jnp.stack(
+        [dc_last[:, n_luma - 1], dc_last[:, min(n_luma, b - 1)],
+         dc_last[:, min(n_luma + 1, b - 1)]], axis=1)
+    perm = [(i, i + 1) for i in range(n_row - 1)]
+    prev_dc = jax.lax.ppermute(last_dc, mesh_lib.ROW_AXIS, perm)
+
+    dcd = jax.vmap(lambda c2, ini: scan.dc_diffs_from_dc(
+        c2[:, ::64], n_luma, 0, init_dc=ini))(coeffs, prev_dc)
+    cls = (jnp.arange(b_loc * n_mcu * b, dtype=jnp.int32) % b >= n_luma)
+    chunks, _ = entropy_pack.mcu_capacity(b, bits_budget)
+    vseg = _VSEG if n_mcu >= _VSEG else 1
+    mps_v = -(-n_mcu // vseg)
+    pad_v = vseg * mps_v - n_mcu
+    # images flatten into the block dimension (vmap would batch the
+    # Mosaic kernels); virtual padding interleaves per image tail
+    mw, ml = entropy_pack.block_pack_mcu_pairs(
+        coeffs.reshape(b_loc * n_mcu, bx64), cls.astype(jnp.int32),
+        dcd.reshape(-1), b, chunks)
+    if pad_v:
+        mw = jnp.pad(mw.reshape(b_loc, n_mcu, -1),
+                     ((0, 0), (0, pad_v), (0, 0)))
+        mw = mw.reshape(b_loc * (n_mcu + pad_v), -1)
+        ml = jnp.pad(ml.reshape(b_loc, n_mcu),
+                     ((0, 0), (0, pad_v))).reshape(-1)
+    w_cap_v = -(-mps_v * b * bits_budget // 32)
+    sw, sb, _ = entropy_pack.seg_merge_mcu(
+        mw, ml, b_loc * vseg, mps_v, w_cap_v)
+    fj = (vseg * sw.shape[1]) // 1024 + 2
+    joined, total = jax.vmap(
+        lambda w_, b_: entropy_pack.bit_join(
+            w_, b_, fj * 1024, pad_final=False))(
+        sw.reshape(b_loc, vseg, -1), sb.reshape(b_loc, vseg))
+    return joined, total.reshape(b_loc, 1)
+
+
 @functools.lru_cache(maxsize=16)
 def _build_sharded_norestart(mesh_key, shape: Tuple[int, int, int],
                              cfg: EncoderConfig):
@@ -299,8 +351,10 @@ def _build_sharded_norestart(mesh_key, shape: Tuple[int, int, int],
             "no-restart sharded encode cannot pad rows (padding blocks "
             "would join the single segment); H must divide into whole-MCU "
             f"row shards (H={h}, shards={n_row}, MCU height={mh})")
+    body = (_shard_fn_norestart_pallas if _pallas_entropy_ok(cfg, 0)
+            else _shard_fn_norestart)
     fn = functools.partial(
-        _shard_fn_norestart, quality=cfg.quality,
+        body, quality=cfg.quality,
         subsampling=cfg.subsampling, use_fused=cfg.use_pallas, n_row=n_row,
         bits_budget=MAX_BITS_PER_BLOCK)
     sharded = jax.shard_map(

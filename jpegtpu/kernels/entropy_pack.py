@@ -1097,7 +1097,8 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
     return out, seg_bits, max_mcu_bits
 
 
-def bit_join(seg_words: jax.Array, seg_bits: jax.Array, out_words: int):
+def bit_join(seg_words: jax.Array, seg_bits: jax.Array, out_words: int,
+             pad_final: bool = True):
     """Concatenate S bit-streams into ONE at bit granularity — pure
     vectorized XLA (masks + funnel shifts + word rolls), no kernel.
 
@@ -1139,12 +1140,15 @@ def bit_join(seg_words: jax.Array, seg_bits: jax.Array, out_words: int):
         shp = jnp.concatenate(
             [sh, spill, jnp.zeros(out_words - wv - 1, jnp.uint32)])
         out = out | jnp.roll(shp, starts[k] >> 5)
-    padb = ((8 - (total & 7)) & 7).astype(jnp.uint32)
-    r = (total & 31).astype(jnp.uint32)
-    padval = jnp.left_shift(jnp.left_shift(jnp.uint32(1), padb) - 1,
-                            (32 - r - padb) & 31)
-    oidx = jnp.arange(out_words, dtype=jnp.int32)
-    out = out | jnp.where(oidx == (total >> 5), padval, jnp.uint32(0))
+    if pad_final:
+        padb = ((8 - (total & 7)) & 7).astype(jnp.uint32)
+        r = (total & 31).astype(jnp.uint32)
+        padval = jnp.left_shift(jnp.left_shift(jnp.uint32(1), padb) - 1,
+                                (32 - r - padb) & 31)
+        oidx = jnp.arange(out_words, dtype=jnp.int32)
+        out = out | jnp.where(oidx == (total >> 5), padval, jnp.uint32(0))
+    # pad_final=False emits the RAW unaligned stream (the sharded
+    # no-restart path joins shard streams at bit level on the host)
     return out, total
 
 

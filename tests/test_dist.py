@@ -181,3 +181,29 @@ def test_sharded_pallas_requires_row_aligned_restart(mesh24, monkeypatch):
             shard.encode_batch_sharded(imgs, cfg, mesh24)
     finally:
         shard._build_sharded_pallas.cache_clear()
+
+
+def test_norestart_sharded_pallas_path(mesh24, monkeypatch):
+    """The Pallas no-restart shard body (virtual segment merge +
+    bit_join, raw unaligned shard streams) must stay byte-identical to
+    the single-device no-restart encode."""
+    import jpegtpu.kernels.entropy_pack as epk
+
+    rng = np.random.default_rng(6)
+    cfg = EncoderConfig(quality=75, subsampling="420", restart_interval=0)
+    # 64 rows / 4 row-shards -> 1 MCU row (2 MCUs) per shard: exercises
+    # the vseg=1 fallback; 128 rows -> 2 MCU rows (8 MCUs): virtual split
+    for h, w in ((64, 32), (128, 64)):
+        imgs = rng.integers(0, 256, (2, h, w, 3), dtype=np.uint8)
+        singles = [Encoder(cfg).encode(im) for im in imgs]
+        monkeypatch.setattr(shard, "_pallas_entropy_ok",
+                            lambda cfg_, mps: True)
+        monkeypatch.setattr(epk, "_interpret", lambda: True)
+        monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
+        shard._build_sharded_norestart.cache_clear()
+        try:
+            sharded = shard.encode_batch_sharded(imgs, cfg, mesh24)
+        finally:
+            shard._build_sharded_norestart.cache_clear()
+            monkeypatch.undo()
+        assert sharded == singles, (h, w)

@@ -659,3 +659,30 @@ def test_encoder_restart0_virtual_split(monkeypatch):
             enc_mod._jitted_encode.cache_clear()
             monkeypatch.undo()
         assert pallas == oracle, shape
+
+
+@pytest.mark.parametrize("shape,sub", [((40, 56), "gray"),
+                                       ((40, 56, 3), "444"),
+                                       ((40, 56, 3), "422")])
+def test_encoder_restart0_virtual_all_modes(shape, sub, monkeypatch):
+    """The virtual-split restart=0 path is mode-generic (any block count
+    per MCU, including gray's b=1 dummy-pair pad)."""
+    import jpegtpu.encoder as enc_mod
+    import jpegtpu.kernels.entropy_pack as epk
+    from jpegtpu.config import EncoderConfig
+
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    cfg = EncoderConfig(quality=80, subsampling=sub, restart_interval=0)
+    oracle = enc_mod.Encoder(EncoderConfig(
+        quality=80, subsampling=sub, restart_interval=0,
+        device_bitpack=False)).encode(img)
+    monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
+    enc_mod._jitted_encode.cache_clear()
+    try:
+        pallas = enc_mod.Encoder(cfg).encode(img)
+    finally:
+        enc_mod._jitted_encode.cache_clear()
+    assert pallas == oracle

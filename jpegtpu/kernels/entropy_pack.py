@@ -971,7 +971,7 @@ def seg_merge_v3(words: jax.Array, lens: jax.Array, n_seg: int, bps: int,
 
 def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
                   mps: int, w_cap: int, block_mcus: int | None = None,
-                  mcu_major: bool = False):
+                  mcu_major: bool = False, s_rows: int | None = None):
     """seg_merge_v3's serial-window phase on pre-merged MCU streams
     ([nm, chunks*128] u32 + [nm] i32, e.g. from block_pack_mcu).
 
@@ -981,6 +981,8 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
     free lane-split reshape instead of a full-tensor transpose. mlens
     stays flat segment-major [nm] in both modes."""
     if mcu_major:
+        assert s_rows in (None, 8), "mcu_major blocks are grouped by 8"
+        s_rows = 8
         n_seg_p8 = -(-n_seg // 8) * 8
         chunks = mwords.shape[1] // n_seg_p8 // 128
         nm = mwords.shape[0] * n_seg
@@ -997,10 +999,17 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
     off = csum - ml
     seg_bits = csum[:, -1]
 
-    # Always 8 sublane rows: Mosaic's native lane gather (the per-row
-    # rotation) fails to lower for <8-sublane operands, so small/single
-    # segment counts pad up (padded rows are zero-length no-ops).
-    s_rows = 8
+    # s_rows segments advance together as sublane rows (>= 8: Mosaic's
+    # native lane gather fails to lower for <8-sublane operands; <= 32:
+    # the crossing bitmap packs into an i32). Small/single segment
+    # counts pad up (padded rows are zero-length no-ops). More rows =
+    # fewer serial append iterations at constant vector work: the TPU
+    # sweep (scripts/tpu_probe_srows.py, bit-identical) measured 1.31 /
+    # 0.96 / 0.80 ms for 8/16/32 on the 4K rows-restart geometry, so
+    # auto-pick the widest that padding does not waste.
+    if s_rows is None:
+        s_rows = 32 if n_seg >= 32 else (16 if n_seg >= 16 else 8)
+    assert s_rows in (8, 16, 32)
     n_groups = -(-n_seg // s_rows)
     n_seg_p = n_groups * s_rows
 

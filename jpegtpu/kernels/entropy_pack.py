@@ -1351,6 +1351,13 @@ def _stuff_precompute(seg_words: jax.Array, seg_bits: jax.Array,
     return chunk_off, out_chunk, in_chunk, seg_end, nchunks, seg_start, total
 
 
+# Timing-attribution hook (scripts/tpu_probe_compact_attr.py): trace-time
+# Python branch only — production traces with None and carries no cost.
+# "norank" skips the rank/val gathers, "noplace" the window placement,
+# "noexp" the byte-expansion math; outputs are garbage in those modes.
+_COMPACT_ATTR_MODE = None
+
+
 def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
                           mnum_ref, frames_ref, out_ref, chunk_ref,
                           flush_ref, sem_in, sem_out,
@@ -1523,31 +1530,45 @@ def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
                                     axis=1), jnp.uint32)
             return jnp.where((j >= 0) & (t == eq_q), v, 0)
 
+        if _COMPACT_ATTR_MODE == "noexp":
+            # timing attribution only: raw chunk words as planes, fake
+            # monotone targets — dead-codes the whole expansion chain
+            w0, w1, w2 = ch, ch, ch
+            t_rel = gw
+            t_base = (cur >> 2) + su8 * 16
         # Output word w takes w0 from the word targeting w, w1 from the
         # word targeting w-1, w2 from w-2. Targets of valid words are
         # strictly increasing (every full word expands to >= 1 output
         # word), so each is a unique gather — no prefix sums needed.
         # Plane-edge lanes take the previous plane's tail ranks.
-        out_planes = []
-        prev_r = [jnp.zeros((8, 1), jnp.int32)] * 2  # ranks at 128p-1,-2
-        for p in range(3):
-            q = lane8 + 128 * p
-            r0 = rank_at(q)
-            r1 = jnp.where(lane8 == 0, prev_r[0], pltpu.roll(r0, 1, axis=1))
-            r2 = jnp.where(lane8 == 0, prev_r[1],
-                           jnp.where(lane8 == 1, prev_r[0],
-                                     pltpu.roll(r0, 2, axis=1)))
-            outp = (val_at(w0, r0 - 1, q) |
-                    val_at(w1, r1 - 1, q - 1) |
-                    val_at(w2, r2 - 1, q - 2))
-            out_planes.append(outp)
-            prev_r = [
-                jnp.take_along_axis(r0, jnp.full_like(lane8, 127 - k),
-                                    axis=1)[:, 0:1]
-                for k in range(2)]
+        if _COMPACT_ATTR_MODE == "norank":
+            out_planes = [w0, w1, w2]    # timing attribution only
+        else:
+            out_planes = []
+            prev_r = [jnp.zeros((8, 1), jnp.int32)] * 2  # ranks 128p-1,-2
+            for p in range(3):
+                q = lane8 + 128 * p
+                r0 = rank_at(q)
+                r1 = jnp.where(lane8 == 0, prev_r[0],
+                               pltpu.roll(r0, 1, axis=1))
+                r2 = jnp.where(lane8 == 0, prev_r[1],
+                               jnp.where(lane8 == 1, prev_r[0],
+                                         pltpu.roll(r0, 2, axis=1)))
+                outp = (val_at(w0, r0 - 1, q) |
+                        val_at(w1, r1 - 1, q - 1) |
+                        val_at(w2, r2 - 1, q - 2))
+                out_planes.append(outp)
+                prev_r = [
+                    jnp.take_along_axis(r0, jnp.full_like(lane8, 127 - k),
+                                        axis=1)[:, 0:1]
+                    for k in range(2)]
 
-        for p in range(3):
-            win = place_rows(win, out_planes[p], t_base + 128 * p)
+        if _COMPACT_ATTR_MODE == "noplace":
+            for p in range(3):           # timing attribution only
+                win = win | jnp.pad(out_planes[p], ((0, 24), (0, 0)))
+        else:
+            for p in range(3):
+                win = place_rows(win, out_planes[p], t_base + 128 * p)
 
         win = flush_and_zero(win, cur, cur + slen)
         return s, win, nch

@@ -23,22 +23,23 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def main():
     port, pid, outpath = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+    nproc = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     from jpegtpu.dist import mesh as mesh_lib
     mesh_lib.init_multihost(coordinator=f"127.0.0.1:{port}",
-                            num_processes=2, process_id=pid)
-    assert jax.process_count() == 2, jax.process_count()
-    assert len(jax.devices()) == 8, len(jax.devices())
+                            num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+    assert len(jax.devices()) == 4 * nproc, len(jax.devices())
 
     from jpegtpu.config import EncoderConfig
     from jpegtpu.dist import shard
 
     rng = np.random.default_rng(0)
-    imgs = rng.integers(0, 256, (2, 128, 32, 3), dtype=np.uint8)
+    imgs = rng.integers(0, 256, (nproc, 128, 32, 3), dtype=np.uint8)
     cfg = EncoderConfig(quality=75, subsampling="420",
                         restart_interval="rows")
-    # data axis = processes (devices 0-3 are host 0, 4-7 host 1), so each
-    # host owns one image; rows shard within a host.
-    mesh = mesh_lib.make_mesh(2, 4)
+    # data axis = processes (4 devices per host), so each host owns one
+    # image; rows shard within a host.
+    mesh = mesh_lib.make_mesh(nproc, 4)
     jpegs = shard.encode_batch_sharded(imgs, cfg, mesh)
     with open(outpath, "wb") as f:
         pickle.dump(jpegs, f)

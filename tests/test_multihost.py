@@ -26,14 +26,16 @@ def _free_port() -> int:
     return port
 
 
-def test_multihost_two_process_matches_single(tmp_path):
+@pytest.mark.parametrize("nproc", [2, 4])
+def test_multihost_matches_single(tmp_path, nproc):
     port = _free_port()
-    outs = [tmp_path / f"out{i}.pkl" for i in range(2)]
+    outs = [tmp_path / f"out{i}.pkl" for i in range(nproc)]
     procs = [
         subprocess.Popen(
-            [sys.executable, _WORKER, str(port), str(i), str(outs[i])],
+            [sys.executable, _WORKER, str(port), str(i), str(outs[i]),
+             str(nproc)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-        for i in range(2)
+        for i in range(nproc)
     ]
     results = []
     for p in procs:
@@ -48,13 +50,14 @@ def test_multihost_two_process_matches_single(tmp_path):
         assert rc == 0, f"worker failed:\n{err.decode()[-3000:]}"
 
     jpegs = [pickle.loads(o.read_bytes()) for o in outs]
-    assert jpegs[0] == jpegs[1], "processes disagree on output bytes"
+    assert all(j == jpegs[0] for j in jpegs), \
+        "processes disagree on output bytes"
 
     # Single-process ground truth (this process: 8 virtual CPU devices).
     from jpegtpu.config import EncoderConfig
     from jpegtpu.encoder import Encoder
     rng = np.random.default_rng(0)
-    imgs = rng.integers(0, 256, (2, 128, 32, 3), dtype=np.uint8)
+    imgs = rng.integers(0, 256, (nproc, 128, 32, 3), dtype=np.uint8)
     cfg = EncoderConfig(quality=75, subsampling="420",
                         restart_interval="rows")
     enc = Encoder(cfg)

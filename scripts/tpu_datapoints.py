@@ -55,6 +55,8 @@ def main():
                                                 restart_interval=0)),
         ("4K q50 rows", (2160, 3840), dict(quality=50,
                                            restart_interval="rows")),
+        ("4K q75 rows", (2160, 3840), dict(quality=75,
+                                           restart_interval="rows")),
     ]
     if "batch-only" in sys.argv:
         cases = []

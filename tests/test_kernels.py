@@ -688,3 +688,29 @@ def test_encoder_restart0_virtual_all_modes(shape, sub, monkeypatch):
     finally:
         enc_mod._jitted_encode.cache_clear()
     assert pallas == oracle
+
+
+def test_budget_escalation_virtual_split(monkeypatch):
+    """Per-VIRTUAL-segment budget overflow on the restart=0 path must
+    trigger the worst-case re-run via the max_mcu_bits sentinel (the
+    joined [1] seg_bits can no longer reveal it), with output identical
+    to the XLA path."""
+    import jpegtpu.encoder as enc_mod
+    import jpegtpu.kernels.entropy_pack as epk
+    from jpegtpu.config import EncoderConfig
+
+    rng = np.random.default_rng(10)
+    img = rng.integers(0, 256, (32, 64, 3), dtype=np.uint8)  # 8 MCUs
+    cfg = EncoderConfig(quality=100, subsampling="420", restart_interval=0)
+    xla_bytes = enc_mod.Encoder(cfg).encode(img)
+
+    monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
+    monkeypatch.setattr(enc_mod, "DEFAULT_BITS_BUDGET", 48)  # force overflow
+    enc_mod._jitted_encode.cache_clear()
+    try:
+        pallas_bytes = enc_mod.Encoder(cfg).encode(img)
+    finally:
+        enc_mod._jitted_encode.cache_clear()
+    assert pallas_bytes == xla_bytes

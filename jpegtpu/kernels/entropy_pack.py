@@ -1605,15 +1605,30 @@ def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
     win = jax.lax.fori_loop(0, n_seg, seg_body, zero_win)
 
     # Final partial frame: total scan bytes = seg_end of the last segment
-    # (no marker after it). Drain the two in-flight output DMAs.
-    total = send_ref[0, n_seg - 1, 0]
+    # PLUS its trailing RST marker, if any (sharded row shards keep a
+    # marker after their final segment). When that end is frame-aligned,
+    # seg_body's flush_and_zero already emitted the frame and zeroed its
+    # window rows — a duplicate flush_frame here would DMA zeros over the
+    # completed frame and reuse its flush slot, breaking the exactly-once
+    # double-buffer protocol. Flush only a genuine partial frame, then
+    # drain the (up to two) in-flight output DMAs.
+    total = (send_ref[0, n_seg - 1, 0] +
+             jnp.where(mnum_ref[0, n_seg - 1, 0] > 0, 2, 0))
     last = total >> 12
-    flush_frame(win, last)
+    partial = (total & 4095) > 0
+    top = jnp.where(partial, last, last - 1)   # highest frame flushed
 
-    @pl.when(last >= 1)
+    @pl.when(partial)
     def _():
-        _out_copy(last - 1).wait()
-    _out_copy(last).wait()
+        flush_frame(win, last)
+
+    @pl.when(top >= 1)
+    def _():
+        _out_copy(top - 1).wait()
+
+    @pl.when(top >= 0)
+    def _():
+        _out_copy(top).wait()
 
 
 def compact_segments_stuffed(seg_words: jax.Array, seg_bits: jax.Array,

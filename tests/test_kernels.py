@@ -314,6 +314,41 @@ def test_compact_stuffed_matches_oracle(restart, seed):
     assert raw.tobytes() == expected
 
 
+@pytest.mark.parametrize("resid", [4093, 4094, 4095])
+def test_compact_stuffed_trailing_marker_frame_edge(resid):
+    """Trailing RST marker on the LAST segment (the sharded row-shard path
+    gives non-final shards one) with seg_end landing at the 4 KB frame
+    edge. Regression: the final drain excluded the trailing marker, so at
+    seg_end%4096==4094 the marker-completed frame was re-flushed from the
+    zeroed window (4096 output bytes silently zeroed) and at 4095 the
+    marker's second byte was never flushed at all. 4093 is the control."""
+    rng = np.random.default_rng(resid)
+    n_seg, frames = 2, 2
+    # No 0xFF anywhere: stuffing is identity, so byte positions are exact.
+    by = rng.integers(0, 255, (n_seg, frames * 4096), dtype=np.uint8)
+    n0 = 100
+    # seg_start of seg 1 is n0 + 2 (marker after seg 0); choose n1 so
+    # seg 1's seg_end = 4096 + resid, i.e. marker bytes straddle/complete
+    # the second output frame.
+    n1 = (4096 + resid) - (n0 + 2)
+    seg_bits = np.array([n0 * 8, n1 * 8], np.int32)
+    b4 = by.reshape(n_seg, -1, 4).astype(np.uint32)
+    words = ((b4[..., 0] << 24) | (b4[..., 1] << 16) |
+             (b4[..., 2] << 8) | b4[..., 3])
+    # Markers after BOTH segments, as on a non-final row shard.
+    mnum = np.array([0xD0, 0xD1], np.int32)
+
+    expected = (by[0, :n0].tobytes() + b"\xff\xd0" +
+                by[1, :n1].tobytes() + b"\xff\xd1")
+
+    stream, _, total = ep.compact_segments_stuffed(
+        jnp.asarray(words), jnp.asarray(seg_bits), frames, 4,
+        mnum=jnp.asarray(mnum))
+    raw = np.asarray(stream).view(np.uint8)[:int(total)]
+    assert int(total) == len(expected)
+    assert raw.tobytes() == expected
+
+
 def test_compact_stuffed_batched_images():
     """With segs_per_image, RST markers and numbering reset per image and
     image_offsets slice the stream into independent scans."""

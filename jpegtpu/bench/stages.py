@@ -22,7 +22,7 @@ import numpy as np
 from jpegtpu import native
 from jpegtpu.config import EncoderConfig
 from jpegtpu.core import ops
-from jpegtpu.encoder import Encoder
+from jpegtpu.encoder import DEFAULT_BITS_BUDGET, Encoder
 from jpegtpu.entropy import scan
 
 
@@ -84,7 +84,7 @@ def stage_report(img: np.ndarray, cfg: EncoderConfig,
         from jpegtpu.kernels import entropy_pack
         n_mcu, b, _ = coeffs.shape
 
-        mcu_chunks, _ = entropy_pack.mcu_capacity(b, 384)
+        mcu_chunks, _ = entropy_pack.mcu_capacity(b, DEFAULT_BITS_BUDGET)
 
         def f_sym(c):
             dcd = scan.dc_diffs(c, n_luma, restart).reshape(-1)
@@ -99,7 +99,7 @@ def stage_report(img: np.ndarray, cfg: EncoderConfig,
         n_seg = -(-n_mcu // restart) if restart else 1
         mps = restart if restart else n_mcu
         bps = mps * b
-        w_cap = -(-bps * 384 // 32)
+        w_cap = -(-bps * DEFAULT_BITS_BUDGET // 32)
         f_merge = jax.jit(lambda w, l: entropy_pack.seg_merge_mcu(
             w, l, n_seg, mps, w_cap)[:2])
         out["seg_merge"] = _sync_time(f_merge, mwords, mlens, iters=iters)
@@ -142,31 +142,73 @@ def cpu_reference_time(img: np.ndarray, cfg: EncoderConfig,
     return times[len(times) // 2]
 
 
+def cpu_reference_stages(img: np.ndarray, cfg: EncoderConfig,
+                         iters: int = 3) -> Optional[Dict[str, float]]:
+    """Per-stage wall seconds of the native staged C++ encoder (median of
+    iters), or None if unavailable. Keys: native.CPU_STAGES."""
+    from jpegtpu.core import ops as _ops
+    _, mx = _ops.mcu_grid(*img.shape[:2], cfg.subsampling)
+    restart = cfg.resolve_restart(mx)
+    runs = []
+    for _ in range(iters):
+        r = native.cpu_encode_scan_staged(img, cfg.quality, cfg.subsampling,
+                                          restart)
+        if r is None:
+            return None
+        runs.append(r[1])
+    runs.sort(key=lambda d: sum(d.values()))
+    return runs[len(runs) // 2]
+
+
 def speedup_table(img: np.ndarray, cfg: EncoderConfig,
                   cpu: Optional[Dict[str, float]] = None) -> str:
-    """Formatted per-stage table plus a total CPU-vs-device speedup row —
+    """Formatted per-stage device-vs-CPU table with per-stage speedups —
     the reference's printout format (src/OpenCLProject_JpegEncoder.cpp:
-    622-629), with our native C++ sequential encoder as the CPU side.
+    622-629), with our native staged C++ encoder as the CPU side.
+
+    The CPU column maps honestly onto the device decomposition: the
+    isolated oracle stages get their direct CPU twins; the fused pixel
+    matmul is compared against the SUM of the CPU pixel stages it
+    replaces (pad+csc+subsample+dct+quant); the three device entropy
+    kernels are compared as a group against the CPU entropy pass.
     Totals come from the StageTimes telemetry struct (bench.telemetry),
     the one summary type shared by every reporting path."""
     from jpegtpu.bench.telemetry import StageTimes
     dev = stage_report(img, cfg)
     times = StageTimes.from_report(dev)
+    if cpu is None:
+        cpu = cpu_reference_stages(img, cfg)
+    cpu = cpu or {}
+    # Device-row -> CPU-time mapping (seconds; None = no honest twin).
+    pixel_cpu = sum(cpu.get(k, 0.0) for k in
+                    ("pad", "csc", "subsample", "dct", "quant_zigzag"))
+    row_cpu = {
+        "oracle:csc": cpu.get("csc"),
+        "oracle:pad": cpu.get("pad"),
+        "oracle:subsample": cpu.get("subsample"),
+        "pixel_path_fused": pixel_cpu or None,
+    }
     lines = [f"{'stage':>26} {'device':>12} {'cpu':>12} {'speedup':>9}"]
-    dev_total = times.device_total
+
+    def row(name, v, c):
+        cs = f"{c * 1e3:9.2f} ms" if c else " " * 12
+        sp = f"{c / v:8.1f}x" if c and v else " " * 9
+        lines.append(f"{name:>26} {v * 1e3:9.2f} ms {cs} {sp}")
+
     for k, v in dev.items():
         if k == "native_available":
             continue
-        c = (cpu or {}).get(k)
-        cs = f"{c * 1e3:9.2f} ms" if c else " " * 12
-        sp = f"{c / v:8.1f}x" if c else " " * 9
-        lines.append(f"{k:>26} {v * 1e3:9.2f} ms {cs} {sp}")
-    cpu_total = cpu_reference_time(img, cfg)
-    if cpu_total is not None:
-        lines.append(
-            f"{'device total (production)':>26} {dev_total * 1e3:9.2f} ms "
-            f"{cpu_total * 1e3:9.2f} ms {cpu_total / dev_total:8.1f}x")
+        row(k, v, row_cpu.get(k))
+    ent_dev = times.block_pack + times.seg_merge + times.compact
+    ent_cpu = cpu.get("entropy")
+    if ent_dev and ent_cpu:
+        row("entropy total (device)", ent_dev, ent_cpu)
+    dev_total = times.device_total
+    cpu_total = sum(cpu.values()) if cpu else cpu_reference_time(img, cfg)
+    if cpu_total:
+        row("device total (production)", dev_total, cpu_total)
         lines.append("  (oracle:* rows are stage-isolated XLA diagnostics, "
-                     "fused away in production; host:* includes the "
-                     "device->host link)")
+                     "fused away in production; pixel_path_fused's CPU "
+                     "column sums the pad+csc+subsample+dct+quant passes "
+                     "it replaces; host:* includes the device->host link)")
     return "\n".join(lines)

@@ -259,13 +259,15 @@ def _jitted_encode_batch(batch: int, shape: Tuple[int, int],
 
 
 def _budget_overflow(seg_bits_np: np.ndarray, max_mcu_bits: int,
-                     cap_bits: int, blocks_per_mcu: int) -> bool:
-    """True when the default bit budget was insufficient: a segment spilled
-    its frame capacity, or a single MCU exceeded the (budget-sized) MCU
-    stream capacity — both silently truncate on device, so the host must
-    re-run with the worst-case budget (which can never overflow)."""
+                     cap_bits: int, blocks_per_mcu: int,
+                     bits_budget: int = DEFAULT_BITS_BUDGET) -> bool:
+    """True when the first-pass bit budget was insufficient: a segment
+    spilled its frame capacity, or a single MCU exceeded the (budget-sized)
+    MCU stream capacity — both silently truncate on device, so the host
+    must re-run with the worst-case budget (which can never overflow).
+    bits_budget must be the budget the first pass actually compiled with."""
     from jpegtpu.kernels.entropy_pack import mcu_capacity
-    _, mcu_cap_bits = mcu_capacity(blocks_per_mcu, DEFAULT_BITS_BUDGET)
+    _, mcu_cap_bits = mcu_capacity(blocks_per_mcu, bits_budget)
     return (int(seg_bits_np.max(initial=0)) > cap_bits or
             max_mcu_bits > mcu_cap_bits)
 

@@ -26,9 +26,10 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH) <
-                os.path.getmtime(os.path.join(_DIR, "native.cpp"))):
+        src_mtime = max(os.path.getmtime(os.path.join(_DIR, f))
+                        for f in ("native.cpp", "cpu_encoder.cpp"))
+        if (not os.path.exists(_LIB_PATH) or
+                os.path.getmtime(_LIB_PATH) < src_mtime):
             subprocess.run(["make", "-C", _DIR, "-s"], check=True,
                            capture_output=True, timeout=120)
         lib = ctypes.CDLL(_LIB_PATH)
@@ -51,6 +52,9 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_int, ctypes.c_void_p, ctypes.c_longlong]
+        lib.cpu_encode_scan_staged.restype = ctypes.c_longlong
+        lib.cpu_encode_scan_staged.argtypes = (
+            lib.cpu_encode_scan.argtypes + [ctypes.c_void_p])
         lib.parse_pnm_header.restype = ctypes.c_int
         lib.parse_pnm_header.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
@@ -132,16 +136,11 @@ _CPU_GEOM = {"444": (8, 8, 3), "422": (8, 16, 4), "420": (16, 16, 6),
              "gray": (8, 8, 1)}
 
 
-def cpu_encode_scan(img: np.ndarray, quality: int, subsampling: str,
-                    restart: int):
-    """Sequential C++ reference encoder -> stuffed entropy scan bytes
-    (with RST markers), or None if the native library is unavailable.
-
-    The CPU-tier analog of the reference's JpegEncoderHost pipeline; all
-    tables come from the same Python sources as the device path."""
-    lib = _load()
-    if lib is None or subsampling not in _CPU_MODES:
-        return None
+def _cpu_encode_args(img: np.ndarray, quality: int, subsampling: str,
+                     restart: int):
+    """Shared ctypes argument marshalling for the C++ encoder entries:
+    (args tuple, output buffer, capacity). Tables come from the same
+    Python sources as the device path so the tiers can never disagree."""
     from jpegtpu.core import tables
     from jpegtpu.entropy import huffman_tables as ht
 
@@ -167,14 +166,52 @@ def cpu_encode_scan(img: np.ndarray, quality: int, subsampling: str,
     n_seg = -(-n_mcu // restart) if restart > 0 else 1
     cap = (n_mcu * bpm * MAX_BITS_PER_BLOCK // 8) * 2 + 2 * n_seg + 64
     out = np.empty(cap, np.uint8)
-    n = lib.cpu_encode_scan(
-        img.ctypes.data, h, w, _CPU_MODES[subsampling],
-        qtab.ctypes.data, zig.ctypes.data, dc_codes.ctypes.data,
-        dc_lens.ctypes.data, ac_codes.ctypes.data, ac_lens.ctypes.data,
-        int(restart), out.ctypes.data, cap)
+    # Keep every array referenced until the call returns.
+    keep = (img, qtab, zig, dc_codes, dc_lens, ac_codes, ac_lens)
+    args = (img.ctypes.data, h, w, _CPU_MODES[subsampling],
+            qtab.ctypes.data, zig.ctypes.data, dc_codes.ctypes.data,
+            dc_lens.ctypes.data, ac_codes.ctypes.data, ac_lens.ctypes.data,
+            int(restart), out.ctypes.data, cap)
+    return args, out, keep
+
+
+def cpu_encode_scan(img: np.ndarray, quality: int, subsampling: str,
+                    restart: int):
+    """Sequential C++ reference encoder -> stuffed entropy scan bytes
+    (with RST markers), or None if the native library is unavailable.
+
+    The CPU-tier analog of the reference's JpegEncoderHost pipeline; all
+    tables come from the same Python sources as the device path."""
+    lib = _load()
+    if lib is None or subsampling not in _CPU_MODES:
+        return None
+    args, out, _keep = _cpu_encode_args(img, quality, subsampling, restart)
+    n = lib.cpu_encode_scan(*args)
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+# Stage keys for cpu_encode_scan_staged, in C++ stage_secs order.
+CPU_STAGES = ("pad", "csc", "subsample", "dct", "quant_zigzag", "entropy")
+
+
+def cpu_encode_scan_staged(img: np.ndarray, quality: int, subsampling: str,
+                           restart: int):
+    """Stage-timed C++ encode: (scan bytes, {stage: seconds}) or None.
+
+    Whole-image stage passes mirroring the reference's per-stage CPU
+    timing brackets (src/OpenCLProject_JpegEncoder.cpp:62-247); byte-
+    identical to cpu_encode_scan."""
+    lib = _load()
+    if lib is None or subsampling not in _CPU_MODES:
+        return None
+    args, out, _keep = _cpu_encode_args(img, quality, subsampling, restart)
+    secs = np.zeros(len(CPU_STAGES), np.float64)
+    n = lib.cpu_encode_scan_staged(*args, secs.ctypes.data)
+    if n < 0:
+        return None
+    return out[:n].tobytes(), dict(zip(CPU_STAGES, secs.tolist()))
 
 
 def stuff_assemble_contig(stream: np.ndarray, nbytes: np.ndarray,

@@ -12,6 +12,7 @@
 // complete stuffed entropy scan including RST markers; Python wraps the
 // JFIF headers.
 
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -50,11 +51,10 @@ inline int size_category(int v) {
     return s;
 }
 
-// Forward 8x8 DCT-II (orthonormal), quantize, zigzag: the textbook
-// formulation the reference loops through (src/utils.cpp:314-348), minus
-// its in-place aliasing bug.
-void dct_quant_zigzag(const double* block, const uint16_t* qtab_zz,
-                      const int32_t* zigzag, int32_t* out_zz) {
+// Forward 8x8 DCT-II (orthonormal): the textbook formulation the
+// reference loops through (src/utils.cpp:314-348), minus its in-place
+// aliasing bug.
+void dct8x8(const double* block, double* coef) {
     static double ctab[8][8];
     static bool init = false;
     if (!init) {
@@ -71,18 +71,29 @@ void dct_quant_zigzag(const double* block, const uint16_t* qtab_zz,
             for (int y = 0; y < 8; ++y) s += ctab[u][y] * block[y * 8 + x];
             tmp[u][x] = s;
         }
-    double coef[64];
     for (int u = 0; u < 8; ++u)
         for (int v = 0; v < 8; ++v) {
             double s = 0;
             for (int x = 0; x < 8; ++x) s += tmp[u][x] * ctab[v][x];
             coef[u * 8 + v] = s;
         }
+}
+
+// Quantize + zigzag with std::round semantics (matches core/ops.py).
+void quant_zigzag(const double* coef, const uint16_t* qtab_zz,
+                  const int32_t* zigzag, int32_t* out_zz) {
     for (int z = 0; z < 64; ++z) {
         double q = coef[zigzag[z]] / (double)qtab_zz[z];
         out_zz[z] = (int32_t)(q < 0 ? -std::floor(-q + 0.5)
                                     : std::floor(q + 0.5));
     }
+}
+
+void dct_quant_zigzag(const double* block, const uint16_t* qtab_zz,
+                      const int32_t* zigzag, int32_t* out_zz) {
+    double coef[64];
+    dct8x8(block, coef);
+    quant_zigzag(coef, qtab_zz, zigzag, out_zz);
 }
 
 struct HuffTables {
@@ -234,6 +245,172 @@ long long cpu_encode_scan(const uint8_t* rgb, int h, int w, int mode,
         }
     }
     bw.pad_to_byte();
+
+    if ((long long)scan.size() > out_cap) return -1;
+    std::memcpy(out, scan.data(), scan.size());
+    return (long long)scan.size();
+}
+
+// Stage-timed variant of cpu_encode_scan: the same pipeline restructured
+// as whole-image stage passes (the reference's CPU structure — it times
+// each full-image stage separately, src/OpenCLProject_JpegEncoder.cpp:
+// 62-247) so each stage gets a clean wall-clock bracket. Output is
+// byte-identical to cpu_encode_scan (asserted in tests).
+// stage_secs: [6] doubles — pad, csc, subsample, dct, quant+zigzag,
+// entropy (RLE+Huffman+stuffing+restart markers).
+long long cpu_encode_scan_staged(
+        const uint8_t* rgb, int h, int w, int mode,
+        const uint16_t* qtab_zz, const int32_t* zigzag,
+        const uint32_t* dc_codes, const int32_t* dc_lens,
+        const uint32_t* ac_codes, const int32_t* ac_lens,
+        int restart, uint8_t* out, long long out_cap, double* stage_secs) {
+    using clk = std::chrono::steady_clock;
+    auto secs = [](clk::time_point a, clk::time_point b) {
+        return std::chrono::duration<double>(b - a).count();
+    };
+    const int mh = (mode == 2) ? 16 : 8;
+    const int mw = (mode == 0 || mode == 3) ? 8 : 16;
+    const int my = (h + mh - 1) / mh, mx = (w + mw - 1) / mw;
+    const int ph = my * mh, pw = mx * mw;
+    const int nc = (mode == 3) ? 1 : 3;
+
+    // Stage 1: mirror padding to MCU multiples (the reference's copy/
+    // padding stage, addReversedPadding).
+    auto t0 = clk::now();
+    std::vector<uint8_t> prgb((size_t)ph * pw * nc);
+    for (int y = 0; y < ph; ++y) {
+        int sy = reflect(y, h);
+        for (int x = 0; x < pw; ++x) {
+            int sx = reflect(x, w);
+            for (int c = 0; c < nc; ++c)
+                prgb[((size_t)y * pw + x) * nc + c] =
+                    rgb[((size_t)sy * w + sx) * nc + c];
+        }
+    }
+    auto t1 = clk::now();
+    stage_secs[0] = secs(t0, t1);
+
+    // Stage 2: CSC (exact BT.601, same expressions as cpu_encode_scan).
+    std::vector<double> Y((size_t)ph * pw), Cb, Cr;
+    if (mode != 3) {
+        Cb.resize((size_t)ph * pw);
+        Cr.resize((size_t)ph * pw);
+    }
+    for (size_t i = 0; i < (size_t)ph * pw; ++i) {
+        if (mode == 3) {
+            Y[i] = (double)prgb[i];
+            continue;
+        }
+        double r = prgb[i * 3], g = prgb[i * 3 + 1], b = prgb[i * 3 + 2];
+        Y[i] = 0.299 * r + 0.587 * g + 0.114 * b;
+        Cb[i] = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b;
+        Cr[i] = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b;
+    }
+    auto t2 = clk::now();
+    stage_secs[1] = secs(t1, t2);
+
+    // Stage 3: chroma downsample (addition order matches the monolithic
+    // per-MCU code exactly for double parity).
+    int ch_ = ph, cw_ = pw;
+    if (mode == 2) { ch_ = ph / 2; cw_ = pw / 2; }
+    else if (mode == 1) { cw_ = pw / 2; }
+    std::vector<double> sCb, sCr;
+    if (mode == 1 || mode == 2) {
+        sCb.resize((size_t)ch_ * cw_);
+        sCr.resize((size_t)ch_ * cw_);
+        for (int y = 0; y < ch_; ++y)
+            for (int x = 0; x < cw_; ++x) {
+                size_t o = (size_t)y * cw_ + x;
+                if (mode == 2) {
+                    size_t p = (size_t)(2 * y) * pw + 2 * x;
+                    sCb[o] = (Cb[p] + Cb[p + 1] +
+                              Cb[p + pw] + Cb[p + pw + 1]) * 0.25;
+                    sCr[o] = (Cr[p] + Cr[p + 1] +
+                              Cr[p + pw] + Cr[p + pw + 1]) * 0.25;
+                } else {
+                    size_t p = (size_t)y * pw + 2 * x;
+                    sCb[o] = (Cb[p] + Cb[p + 1]) * 0.5;
+                    sCr[o] = (Cr[p] + Cr[p + 1]) * 0.5;
+                }
+            }
+    }
+    auto t3 = clk::now();
+    stage_secs[2] = secs(t2, t3);
+
+    // Stage 4: level shift + forward DCT for every block in scan order
+    // (MCU raster; luma blocks then Cb, Cr — same order as the entropy
+    // walk below and cpu_encode_scan).
+    const int lby = mh / 8, lbx = mw / 8;
+    const int bpm = lby * lbx + (mode == 3 ? 0 : 2);
+    const size_t nblocks = (size_t)my * mx * bpm;
+    std::vector<double> coefs(nblocks * 64);
+    double blk[64];
+    size_t bi = 0;
+    for (int myi = 0; myi < my; ++myi)
+        for (int mxi = 0; mxi < mx; ++mxi) {
+            for (int by = 0; by < lby; ++by)
+                for (int bx = 0; bx < lbx; ++bx) {
+                    for (int y = 0; y < 8; ++y)
+                        for (int x = 0; x < 8; ++x)
+                            blk[y * 8 + x] =
+                                Y[(size_t)(myi * mh + by * 8 + y) * pw +
+                                  mxi * mw + bx * 8 + x] - 128.0;
+                    dct8x8(blk, &coefs[bi++ * 64]);
+                }
+            if (mode != 3) {
+                const std::vector<double>* cp[2] = {
+                    (mode == 0) ? &Cb : &sCb, (mode == 0) ? &Cr : &sCr};
+                for (int c = 0; c < 2; ++c) {
+                    for (int y = 0; y < 8; ++y)
+                        for (int x = 0; x < 8; ++x)
+                            blk[y * 8 + x] =
+                                (*cp[c])[(size_t)(myi * 8 + y) * cw_ +
+                                         mxi * 8 + x] - 128.0;
+                    dct8x8(blk, &coefs[bi++ * 64]);
+                }
+            }
+        }
+    auto t4 = clk::now();
+    stage_secs[3] = secs(t3, t4);
+
+    // Stage 5: quantization + zigzag.
+    std::vector<int32_t> zzbuf(nblocks * 64);
+    for (size_t i = 0; i < nblocks; ++i) {
+        bool chroma = (mode != 3) && ((int)(i % bpm) >= lby * lbx);
+        quant_zigzag(&coefs[i * 64], chroma ? qtab_zz + 64 : qtab_zz,
+                     zigzag, &zzbuf[i * 64]);
+    }
+    auto t5 = clk::now();
+    stage_secs[4] = secs(t4, t5);
+
+    // Stage 6: entropy — RLE, Huffman, bit pack, stuffing, RST markers.
+    HuffTables ht{dc_codes, dc_lens, ac_codes, ac_lens};
+    std::vector<uint8_t> scan;
+    scan.reserve((size_t)my * mx * 64);
+    BitWriter bw(scan);
+    int pred[3] = {0, 0, 0};
+    int seg = 0, mcu_in_seg = 0;
+    const size_t n_mcu = (size_t)my * mx;
+    for (size_t m = 0; m < n_mcu; ++m) {
+        const int32_t* mzz = &zzbuf[m * bpm * 64];
+        for (int bq = 0; bq < lby * lbx; ++bq)
+            encode_block(bw, mzz + (size_t)bq * 64, 0, pred[0], ht);
+        if (mode != 3)
+            for (int c = 0; c < 2; ++c)
+                encode_block(bw, mzz + (size_t)(lby * lbx + c) * 64, 1,
+                             pred[c + 1], ht);
+        if (restart > 0 && ++mcu_in_seg == restart && m != n_mcu - 1) {
+            bw.pad_to_byte();
+            scan.push_back(0xFF);
+            scan.push_back((uint8_t)(0xD0 + (seg & 7)));
+            ++seg;
+            mcu_in_seg = 0;
+            pred[0] = pred[1] = pred[2] = 0;
+        }
+    }
+    bw.pad_to_byte();
+    auto t6 = clk::now();
+    stage_secs[5] = secs(t5, t6);
 
     if ((long long)scan.size() > out_cap) return -1;
     std::memcpy(out, scan.data(), scan.size());

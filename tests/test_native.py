@@ -81,3 +81,43 @@ def test_stage_times_from_report():
     assert t.pixel_path == 0.002
     assert abs(t.device_total - 0.0155) < 1e-9
     assert "device_total" in t.report()
+
+
+@pytest.mark.parametrize("sub", ["444", "422", "420", "gray"])
+def test_cpu_encode_scan_staged_matches_monolithic(sub):
+    """The stage-timed whole-image-pass C++ encoder must be byte-identical
+    to the monolithic per-MCU cpu_encode_scan (same double math, different
+    loop structure) and report a positive time for every stage it ran."""
+    if not native.available():
+        pytest.skip("native unavailable")
+    rng = np.random.default_rng(3)
+    shape = (61, 45) if sub == "gray" else (61, 45, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    for restart in (0, 5):
+        mono = native.cpu_encode_scan(img, 80, sub, restart)
+        scan, times = native.cpu_encode_scan_staged(img, 80, sub, restart)
+        assert scan == mono
+        assert set(times) == set(native.CPU_STAGES)
+        for k in ("pad", "csc", "dct", "quant_zigzag", "entropy"):
+            assert times[k] > 0
+        if sub not in ("420", "422"):      # skipped stage: only clock
+            assert times["subsample"] < 1e-4   # bracket overhead remains
+
+
+def test_speedup_table_populates_cpu_columns():
+    """Every mappable device row must carry a CPU time and speedup (the
+    reference's headline printout, OpenCLProject_JpegEncoder.cpp:622-629)."""
+    if not native.available():
+        pytest.skip("native unavailable")
+    from jpegtpu.bench import stages
+    from jpegtpu.config import EncoderConfig
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (128, 160, 3), dtype=np.uint8)
+    cfg = EncoderConfig(quality=90, subsampling="420",
+                        restart_interval="rows")
+    table = stages.speedup_table(img, cfg)
+    for row in ("oracle:csc", "oracle:pad", "oracle:subsample",
+                "pixel_path_fused", "entropy total (device)",
+                "device total (production)"):
+        line = next(ln for ln in table.splitlines() if row in ln)
+        assert line.rstrip().endswith("x"), line

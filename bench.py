@@ -5,34 +5,102 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Measured quantity: the full device encode pipeline — fused pixel-path matmul
 + Pallas entropy kernels (symbolize, per-block pack, segment merge, stream
-compaction) — synchronized per frame via a dependent scalar fetch. Host-side
-work (byte-stuffing + marker splice, projected ~5 ms of C++ on the final
-bytes — unmeasured pending real-host hardware) and
-the host link transfer are excluded: this environment reaches the chip
-through a network tunnel whose device->host path runs at a few MB/s with
-hundreds of ms latency, so including it would benchmark the tunnel, not the
-encoder; on a real v5e host (PCIe, tens of GB/s) the ~1-3 MB/frame of
-compressed output is sub-millisecond and overlaps with compute. The
-reference's own comparison likewise times kernels via CL event profiling,
-not host round-trips (src/OpenCLProject_JpegEncoder.cpp:622-629).
+compaction, byte-stuffing + RST splice) — synchronized per frame via a
+dependent scalar fetch. The device output IS the complete entropy scan
+(device_stuff on by default): remaining host work is one fetch of
+total_scan_bytes plus JFIF header concatenation. The host link transfer is
+excluded: this environment reaches the chip through a network tunnel whose
+device->host path runs at a few MB/s with hundreds of ms latency, so
+including it would benchmark the tunnel, not the encoder; on a real v5e
+host (PCIe, tens of GB/s) the ~1-3 MB/frame of compressed output is
+sub-millisecond and overlaps with compute. The reference's own comparison
+likewise times kernels via CL event profiling, not host round-trips
+(src/OpenCLProject_JpegEncoder.cpp:622-629).
 
 vs_baseline: BASELINE.json's north star is >=10x the reference OpenCL GPU
 4K throughput on one chip. The reference publishes no numbers (BASELINE.md);
 extrapolating its per-stage GPU times from the one hardcoded 256x256 run to
 4K puts it at ~8 MPix/s on period hardware, so the 10x target is 80 MPix/s,
 used as the denominator here.
+
+Failure hardening: the TPU tunnel intermittently fails in two modes
+(CLAUDE.md) — a WEDGE (backend up, device ops stall or first init raises
+UNAVAILABLE; recovers in minutes) and a DEAD TERMINAL (the axon relay is
+gone; nothing but the environment can revive it). Round 2 lost its official
+perf artifact to a single transient init failure, so this script now runs
+the measurement in a child process (fresh interpreter = fresh backend init)
+under a hard timeout, with bounded backoff retries; the persistent compile
+cache (.jax_cache) makes post-recovery attempts cheap. Only the final JSON
+line goes to stdout; diagnostics go to stderr.
 """
 
 import json
 import os
+import socket
+import subprocess
 import sys
 import time
 
 import numpy as np
 
+ATTEMPT_TIMEOUT = int(os.environ.get("JPEGTPU_BENCH_TIMEOUT", 580))
+BACKOFFS = [int(x) for x in os.environ.get(
+    "JPEGTPU_BENCH_BACKOFFS", "0,45,90,180,240").split(",")]
 
-def main():
+
+def _listener_up() -> bool:
+    """True if the axon relay is listening (wedge) — False means the
+    DEAD TERMINAL mode where only the environment can restart it."""
+    try:
+        with socket.create_connection(("127.0.0.1", 8103), timeout=5):
+            return True
+    except OSError:
+        return False
+
+
+def supervise() -> int:
+    last_tail = ""
+    for attempt, delay in enumerate(BACKOFFS, 1):
+        if delay:
+            print(f"[bench] backing off {delay}s", file=sys.stderr,
+                  flush=True)
+            time.sleep(delay)
+        mode = "up" if _listener_up() else "DOWN (dead terminal?)"
+        print(f"[bench] attempt {attempt}/{len(BACKOFFS)} "
+              f"(axon listener {mode})", file=sys.stderr, flush=True)
+        try:
+            p = subprocess.run(
+                [sys.executable, "-u", os.path.abspath(__file__), "--run"],
+                timeout=ATTEMPT_TIMEOUT, capture_output=True, text=True)
+        except subprocess.TimeoutExpired as e:
+            print(f"[bench] attempt {attempt} timed out after "
+                  f"{ATTEMPT_TIMEOUT}s (tunnel wedge?)", file=sys.stderr,
+                  flush=True)
+            err = e.stderr or b""
+            if isinstance(err, bytes):
+                err = err.decode(errors="replace")
+            last_tail = err[-2000:]
+            continue
+        if p.stderr:
+            sys.stderr.write(p.stderr[-4000:])
+            sys.stderr.flush()
+        line = next((ln for ln in reversed(p.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if p.returncode == 0 and line:
+            print(line, flush=True)     # the one JSON line on stdout
+            return 0
+        print(f"[bench] attempt {attempt} failed rc={p.returncode}",
+              file=sys.stderr, flush=True)
+        last_tail = p.stdout[-2000:]
+    print(f"[bench] all attempts failed; last output tail:\n{last_tail}",
+          file=sys.stderr, flush=True)
+    return 1
+
+
+def run_bench() -> int:
     import jax
+    if os.environ.get("JPEGTPU_BENCH_CPU"):      # smoke-test mode
+        jax.config.update("jax_platforms", "cpu")
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.join(os.path.dirname(
@@ -44,7 +112,8 @@ def main():
     from jpegtpu.config import EncoderConfig
     from jpegtpu.encoder import Encoder, _jitted_encode
 
-    h, w = 2160, 3840
+    h, w = (int(x) for x in os.environ.get(
+        "JPEGTPU_BENCH_SHAPE", "2160,3840").split(","))
     rng = np.random.default_rng(0)
     # Structured (JPEG-like) content, not white noise: gradients + texture.
     yy, xx = np.mgrid[0:h, 0:w]
@@ -95,8 +164,10 @@ def main():
     mpix_s = (h * w) / dt / 1e6
 
     target = 80.0
+    smoke = (h, w) != (2160, 3840) or os.environ.get("JPEGTPU_BENCH_CPU")
     print(json.dumps({
-        "metric": "encode_throughput_4k_q90_420_device",
+        "metric": ("encode_throughput_smoke" if smoke else
+                   "encode_throughput_4k_q90_420_device"),
         "value": round(mpix_s, 2),
         "unit": "MPix/s/chip",
         "vs_baseline": round(mpix_s / target, 3),
@@ -107,4 +178,4 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(run_bench() if "--run" in sys.argv else supervise())

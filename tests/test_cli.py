@@ -89,3 +89,26 @@ def test_cli_bench_json(tmp_path, smooth_img, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "mpix_s_e2e" in out
+
+
+def test_bench_supervisor_end_to_end():
+    """bench.py's retry supervisor must forward the child's one JSON line
+    to stdout (smoke mode: CPU backend, small shape). Round 2 lost its
+    official perf artifact to a transient backend failure; this pins the
+    supervise->child->JSON pipeline."""
+    import json
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ, JPEGTPU_BENCH_CPU="1",
+               JPEGTPU_BENCH_SHAPE="160,256",
+               JPEGTPU_BENCH_TIMEOUT="240", JPEGTPU_BENCH_BACKOFFS="0,1")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p = subprocess.run([sys.executable, os.path.join(root, "bench.py")],
+                       capture_output=True, text=True, timeout=300, env=env)
+    assert p.returncode == 0, p.stderr[-2000:]
+    lines = [ln for ln in p.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, p.stdout
+    rec = json.loads(lines[0])
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    assert rec["value"] > 0

@@ -543,8 +543,19 @@ def encode_batch_sharded(imgs: np.ndarray, cfg: EncoderConfig, mesh):
 
 
 def dryrun(n_devices: int) -> None:
-    """Compile + execute ONE sharded encode step on tiny shapes over an
-    n_devices mesh (driver validation hook; runs on virtual CPU devices)."""
+    """Compile + execute sharded encodes on tiny shapes over an n_devices
+    mesh and assert BYTE parity with the single-device encoder (driver
+    validation hook; runs on virtual CPU devices).
+
+    Covers both restart modes (row segments; restart=0 with the
+    DC-predictor exchange + bit-level merge) on the XLA tier, then the
+    Pallas kernel tier (interpret mode on CPU, exactly as tests/test_dist
+    runs it) with device stuffing on and off — so a regression that
+    corrupts scan bodies while preserving markers fails the dryrun."""
+    import dataclasses
+
+    from jpegtpu.encoder import Encoder
+
     devices = jax.devices()[:n_devices]
     n_row = 1
     for cand in (8, 4, 2, 1):
@@ -552,18 +563,44 @@ def dryrun(n_devices: int) -> None:
             n_row = cand
             break
     m = mesh_lib.make_mesh(n_devices // n_row, n_row, devices=devices)
-    cfg = EncoderConfig(quality=75, subsampling="420",
-                        restart_interval="rows")
     b = m.shape[mesh_lib.DATA_AXIS] * 2
     h, w = 16 * n_row, 32
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
-    jpegs = encode_batch_sharded(imgs, cfg, m)
-    assert len(jpegs) == b
-    assert all(j[:2] == b"\xff\xd8" and j[-2:] == b"\xff\xd9" for j in jpegs)
-    # Also exercise the no-restart mode (DC-predictor ppermute exchange +
-    # host bit-level merge).
-    cfg0 = EncoderConfig(quality=75, subsampling="420", restart_interval=0)
-    jpegs0 = encode_batch_sharded(imgs, cfg0, m)
-    assert all(j[:2] == b"\xff\xd8" and j[-2:] == b"\xff\xd9"
-               for j in jpegs0)
+
+    for restart in ("rows", 0):
+        cfg = EncoderConfig(quality=75, subsampling="420",
+                            restart_interval=restart)
+        expect = [Encoder(cfg).encode(imgs[i]) for i in range(b)]
+        jpegs = encode_batch_sharded(imgs, cfg, m)
+        assert len(jpegs) == b
+        for i, (got, want) in enumerate(zip(jpegs, expect)):
+            assert bytes(got) == want, (
+                f"sharded output differs from single-device encoder "
+                f"(restart={restart!r}, image {i})")
+
+    # Pallas tier, interpret mode: both device_stuff tiers must reproduce
+    # the same bytes. Swap the gate + interpret flags like the test suite
+    # does, restoring on exit.
+    from jpegtpu.kernels import entropy_pack as epk
+    from jpegtpu.kernels import fused_dctq as fdq
+    saved = (globals()["_pallas_entropy_ok"], epk._interpret, fdq._interpret)
+    cfg = EncoderConfig(quality=75, subsampling="420",
+                        restart_interval="rows")
+    expect = [Encoder(cfg).encode(imgs[i]) for i in range(b)]
+    try:
+        globals()["_pallas_entropy_ok"] = lambda cfg_, mps: True
+        epk._interpret = lambda: True
+        fdq._interpret = lambda: True
+        _build_sharded_pallas.cache_clear()
+        for device_stuff in (True, False):
+            cfg_t = dataclasses.replace(cfg, device_stuff=device_stuff)
+            jpegs = encode_batch_sharded(imgs, cfg_t, m)
+            for i, (got, want) in enumerate(zip(jpegs, expect)):
+                assert bytes(got) == want, (
+                    f"Pallas sharded output differs from single-device "
+                    f"encoder (device_stuff={device_stuff}, image {i})")
+    finally:
+        (globals()["_pallas_entropy_ok"], epk._interpret,
+         fdq._interpret) = saved
+        _build_sharded_pallas.cache_clear()

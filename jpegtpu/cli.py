@@ -151,10 +151,37 @@ def cmd_info(args) -> int:
     return 0
 
 
+def _pil_reference_psnr(img, quality: int, subsampling: str) -> float:
+    """PSNR of PIL's own JPEG encoder at the same settings — the dynamic
+    per-content quality floor for the verify gate."""
+    import io as _io
+
+    import numpy as np
+    from PIL import Image
+
+    pil_sub = {"444": 0, "422": 1, "420": 2}.get(subsampling, 0)
+    buf = _io.BytesIO()
+    mode = "L" if img.ndim == 2 else "RGB"
+    kw = {} if img.ndim == 2 else {"subsampling": pil_sub}
+    Image.fromarray(img, mode).save(buf, "JPEG", quality=quality, **kw)
+    dec = Image.open(buf)
+    arr = np.asarray(dec.convert("RGB") if img.ndim == 3 else dec)
+    mse = np.mean((arr.astype(np.float64) - img.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+
+
+# verify passes if decoded PSNR is within this many dB of PIL's own
+# encoder at the same quality/subsampling (exact table parity is covered
+# by the test suite; this is the operator-facing corruption gate).
+VERIFY_PSNR_MARGIN_DB = 0.5
+
+
 def cmd_verify(args) -> int:
-    """Encode -> independent decode (PIL) -> PSNR/size report: the
+    """Encode -> independent decode (PIL) -> PSNR/size gate: the
     operator-facing replacement for the reference's eyeball-the-PPM-dumps
-    verification loop (SURVEY §4)."""
+    verification loop (SURVEY §4). Exit 1 on decoder failure, shape
+    mismatch, or PSNR more than VERIFY_PSNR_MARGIN_DB below PIL's own
+    encoder at the same settings."""
     import io as _io
 
     import numpy as np
@@ -170,20 +197,35 @@ def cmd_verify(args) -> int:
     ok = True
     for path, img in zip(args.inputs, imgs):
         use = enc
+        sub = cfg.subsampling
         if img.ndim == 2:
-            use = Encoder(dataclasses.replace(cfg, subsampling="gray"))
+            sub = "gray"
+            use = Encoder(dataclasses.replace(cfg, subsampling=sub))
         jpg = use.encode(img)
-        dec = Image.open(_io.BytesIO(jpg))
-        arr = np.asarray(dec.convert("RGB") if img.ndim == 3 else dec)
+        try:
+            dec = Image.open(_io.BytesIO(jpg))
+            arr = np.asarray(dec.convert("RGB") if img.ndim == 3 else dec)
+        except Exception as e:
+            print(f"{path}: FAIL decoder rejected output ({e})")
+            ok = False
+            continue
         if arr.shape != img.shape:
             print(f"{path}: FAIL decoded shape {arr.shape} != {img.shape}")
             ok = False
             continue
         mse = np.mean((arr.astype(np.float64) - img.astype(np.float64)) ** 2)
         psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+        floor = (_pil_reference_psnr(img, cfg.quality, sub) -
+                 VERIFY_PSNR_MARGIN_DB)
         raw = img.size
+        if psnr < floor:
+            print(f"{path}: FAIL PSNR {psnr:.2f} dB below the "
+                  f"{floor:.2f} dB gate (PIL at the same settings "
+                  f"- {VERIFY_PSNR_MARGIN_DB} dB)")
+            ok = False
+            continue
         print(f"{path}: OK {len(jpg)}B ({raw / len(jpg):.1f}:1) "
-              f"PSNR {psnr:.2f} dB")
+              f"PSNR {psnr:.2f} dB (gate {floor:.2f})")
     return 0 if ok else 1
 
 

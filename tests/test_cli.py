@@ -112,3 +112,33 @@ def test_bench_supervisor_end_to_end():
     rec = json.loads(lines[0])
     assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
     assert rec["value"] > 0
+
+
+def test_cli_verify_ok(tmp_path, smooth_img, capsys):
+    src = tmp_path / "img.ppm"
+    ppm.write_pnm(src, smooth_img)
+    rc = main(["verify", str(src), "-q", "85"])
+    assert rc == 0
+    assert "OK" in capsys.readouterr().out
+
+
+def test_cli_verify_fails_on_corrupt_scan(tmp_path, smooth_img,
+                                          monkeypatch, capsys):
+    """One corrupted scan byte must flip verify to exit 1 (the PSNR gate
+    vs PIL at the same settings) — verify is a gate, not a report."""
+    from jpegtpu import encoder as enc_mod
+    src = tmp_path / "img.ppm"
+    ppm.write_pnm(src, smooth_img)
+    real_encode = enc_mod.Encoder.encode
+
+    def corrupt(self, img):
+        jpg = bytearray(real_encode(self, img))
+        # Flip bits mid-scan (well after the headers, before EOI): DC
+        # drift corrupts the remainder of the decoded row strip.
+        jpg[len(jpg) // 2] ^= 0x5A
+        return bytes(jpg)
+
+    monkeypatch.setattr(enc_mod.Encoder, "encode", corrupt)
+    rc = main(["verify", str(src), "-q", "85"])
+    assert rc == 1
+    assert "FAIL" in capsys.readouterr().out

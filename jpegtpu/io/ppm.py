@@ -3,9 +3,10 @@
 Capability parity with the reference's readers/writers: readPPMImage
 (src/utils.cpp:11-65 — validates the P6 magic, skips '#' comments, requires
 maxval 255) and writePPMImage (src/utils.cpp:68-82), plus the PGM support in
-the course library (lib/Core/Image.cpp:31-161). A native C++ fast path for
-bulk loading lives in jpegtpu.native; this module is the always-available
-Python implementation and the semantics oracle.
+the course library (lib/Core/Image.cpp:31-161). The batch loader
+(jpegtpu.io.loader) reads through the native C++ fast path
+(jpegtpu.native.read_pnm_file) when available; this module is the
+always-available Python implementation and the semantics oracle.
 """
 
 from __future__ import annotations

@@ -214,6 +214,35 @@ def cpu_encode_scan_staged(img: np.ndarray, quality: int, subsampling: str,
     return out[:n].tobytes(), dict(zip(CPU_STAGES, secs.tolist()))
 
 
+def read_pnm_file(path) -> Optional[np.ndarray]:
+    """Bulk PNM load: one file read + C++ header parse + zero-copy buffer
+    slice (~2x faster than the tokenizing Python reader on small files —
+    measured in jpegtpu.io.loader). Returns None when the native library
+    is unavailable or the file isn't a well-formed maxval-255 P5/P6, so
+    the caller can fall back to jpegtpu.io.ppm.read_pnm, the semantics
+    oracle (which raises the typed errors)."""
+    lib = _load()
+    if lib is None:
+        return None
+    with open(path, "rb") as f:
+        data = f.read()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    ch = ctypes.c_int()
+    off = ctypes.c_longlong()
+    rc = lib.parse_pnm_header(data, len(data), ctypes.byref(w),
+                              ctypes.byref(h), ctypes.byref(ch),
+                              ctypes.byref(off))
+    if rc != 0:
+        return None
+    count = w.value * h.value * ch.value
+    if len(data) - off.value < count:
+        return None       # truncated: let the oracle raise its typed error
+    arr = np.frombuffer(data, np.uint8, count=count, offset=off.value)
+    shape = (h.value, w.value, 3) if ch.value == 3 else (h.value, w.value)
+    return arr.reshape(shape)
+
+
 def stuff_assemble_contig(stream: np.ndarray, nbytes: np.ndarray,
                           restart: int) -> bytes:
     """Back-to-back segment bytes (device-compacted) + lengths -> final

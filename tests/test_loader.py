@@ -51,3 +51,34 @@ def test_cli_verify(img_dir, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert out.count("OK") == 4 and "PSNR" in out
+
+
+def test_native_fast_path_matches_oracle(tmp_path):
+    """loader's native read path must return pixels identical to the
+    Python oracle for P6/P5, comments, and odd sizes — and fall back
+    cleanly on malformed input."""
+    from jpegtpu import native
+    from jpegtpu.io import loader
+    rng = np.random.default_rng(5)
+    color = rng.integers(0, 256, (17, 23, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, (9, 31), dtype=np.uint8)
+    pc, pg = tmp_path / "c.ppm", tmp_path / "g.pgm"
+    ppm.write_pnm(pc, color)
+    ppm.write_pnm(pg, gray)
+    # comment-bearing header
+    pcm = tmp_path / "cm.ppm"
+    pcm.write_bytes(b"P6 # w\n# another\n23 17\n255\n" +
+                    color.tobytes())
+    for p, want in ((pc, color), (pg, gray), (pcm, color)):
+        got = loader._read_pnm(str(p))
+        assert np.array_equal(got, want), p
+        if native.available():
+            fast = native.read_pnm_file(str(p))
+            assert fast is not None and np.array_equal(fast, want)
+    # truncated pixel data: native path declines, oracle raises
+    bad = tmp_path / "bad.ppm"
+    bad.write_bytes(b"P6\n23 17\n255\n" + color.tobytes()[:-7])
+    if native.available():
+        assert native.read_pnm_file(str(bad)) is None
+    with pytest.raises(ppm.PPMError):
+        loader._read_pnm(str(bad))

@@ -217,6 +217,104 @@ def encode_blocks_pallas_pairs(img: jax.Array, quality: int,
     return y.reshape(*b, n_mcu, out_dim)
 
 
+def _pixel_kernel_dma(x_ref, m_ref, b_ref, o_ref, xbuf, scr, sem,
+                      *, r_blk, nrx, mh, row_bytes, n_steps):
+    """_pixel_kernel with the tile relayout moved into the INPUT DMA.
+
+    x_ref is the raw padded u8 image left in HBM (memory_space=ANY),
+    logically [rows, mh, nrx, row_bytes] — a free metadata reshape of
+    [H, W*3]; each grid step DMAs one [r_blk, ...] slab into VMEM
+    (double-buffered), and the DMA engine performs the HBM-row-major ->
+    VMEM-tile scatter. This kills the HBM materialization of the tiled
+    operand layout that XLA inserts for a blocked VMEM in_spec (the
+    ~1.29 ms/4K 'pixel tiling' cost, docs/PERF.md): the only HBM traffic
+    is one read of the image. The u8 -> centered-i8 xor also moves
+    in-kernel (bitcast + XOR), removing the XLA byte pass."""
+    i = pl.program_id(0)
+
+    def in_copy(step, slot):
+        return pltpu.make_async_copy(
+            x_ref.at[pl.ds(step * r_blk, r_blk)], xbuf.at[slot],
+            sem.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        in_copy(0, 0).start()
+    in_copy(i, i & 1).wait()
+
+    @pl.when(i + 1 < n_steps)
+    def _():
+        in_copy(i + 1, (i + 1) & 1).start()
+
+    for b in range(r_blk):
+        for y in range(mh):
+            v = pltpu.bitcast(xbuf[i & 1, b, y], jnp.int8) ^ jnp.int8(-128)
+            scr[:, y * row_bytes:(y + 1) * row_bytes] = \
+                v.astype(jnp.float32) + 128.0
+        acc = jnp.dot(scr[...], m_ref[...],
+                      preferred_element_type=jnp.float32) + b_ref[...]
+        r = jnp.sign(acc) * jnp.floor(jnp.abs(acc) + 0.5)
+        o_ref[b * nrx:(b + 1) * nrx, :] = r.astype(jnp.int32)
+
+
+def encode_blocks_pallas_dma_pairs(img: jax.Array, quality: int,
+                                   subsampling: str) -> jax.Array:
+    """encode_blocks_pallas_pairs with kernel-managed input DMAs (see
+    _pixel_kernel_dma) — the VERDICT-r2 'transpose inside the kernel
+    input path' candidate. Bit-identical to the XLA twin (interpret-mode
+    tests; hardware via scripts/tpu_bisect.py before any production
+    flip). Falls back to the XLA path for geometries the kernel does not
+    cover."""
+    if subsampling != "420":
+        c = encode_blocks(img, quality, subsampling)
+        *b, n_mcu, nb, _ = c.shape
+        return c.reshape(*b, n_mcu, nb * 64)
+    mh, mw = ops.mcu_shape(subsampling)
+    row_bytes = mw * 3
+    in_dim = mh * row_bytes
+    m, bias = mcu_operator(quality, subsampling)
+    out_dim = m.shape[1]
+    padded = ops.pad_to_multiple(jnp.asarray(img), (mh, mw))
+    *b, h, w, _ = padded.shape
+    nry, nrx = h // mh, w // mw
+    n_mcu = nry * nrx
+    bsz = int(np.prod(b)) if b else 1
+    rows = bsz * nry
+    r_blk = max(1, min(8, -(-960 // nrx)))
+    pad_rows = (-rows) % r_blk
+    x = padded.reshape(rows, mh, nrx, row_bytes)       # free metadata view
+    if pad_rows:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad_rows, mh, nrx, row_bytes), jnp.uint8)])
+    grid_rows = rows + pad_rows
+    n_steps = grid_rows // r_blk
+    kernel = functools.partial(_pixel_kernel_dma, r_blk=r_blk, nrx=nrx,
+                               mh=mh, row_bytes=row_bytes, n_steps=n_steps)
+    y = pl.pallas_call(
+        kernel,
+        grid=(n_steps,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),      # image stays in HBM
+            pl.BlockSpec((in_dim, out_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r_blk * nrx, out_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid_rows * nrx, out_dim),
+                                       jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2, r_blk, mh, nrx, row_bytes), jnp.uint8),
+            pltpu.VMEM((nrx, in_dim), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_interpret(),
+    )(x, jnp.asarray(m), jnp.asarray(bias.reshape(1, out_dim)))
+    y = y[:rows * nrx]
+    return y.reshape(*b, n_mcu, out_dim)
+
+
 def encode_blocks(img: jax.Array, quality: int, subsampling: str) -> jax.Array:
     """uint8 RGB [..., H, W, 3] -> int32 [..., nMCU, B, 64] scan-order
     quantized zigzag coefficients — identical to ops.encode_blocks, computed

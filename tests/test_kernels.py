@@ -415,6 +415,23 @@ def test_pixel_kernel_bit_exact_vs_twin(shape, quality):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("shape", [(64, 96, 3), (33, 17, 3), (16, 16, 3),
+                                   (2, 48, 32, 3)])
+@pytest.mark.parametrize("quality", [35, 90])
+def test_pixel_kernel_dma_bit_exact_vs_twin(shape, quality):
+    """The DMA-input pixel kernel (kernel-managed HBM->VMEM tiling +
+    in-kernel xor) must also be BIT-identical to the XLA twin in the
+    pairs layout; scripts/tpu_probe_pixel_dma.py extends this to the
+    full program on hardware."""
+    rng = np.random.default_rng(quality + sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    a = np.asarray(fused_dctq.encode_blocks_pairs(jnp.asarray(img),
+                                                  quality, "420"))
+    b = np.asarray(fused_dctq.encode_blocks_pallas_dma_pairs(
+        jnp.asarray(img), quality, "420"))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pixel_kernel_non420_falls_back():
     rng = np.random.default_rng(3)
     img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)

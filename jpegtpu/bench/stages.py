@@ -91,7 +91,7 @@ def stage_report(img: np.ndarray, cfg: EncoderConfig,
             cls = (jnp.arange(n_mcu * b, dtype=jnp.int32) % b >= n_luma)
             return entropy_pack.block_pack_mcu(
                 c.reshape(-1, 64), cls.astype(jnp.int32), dcd, b,
-                mcu_chunks)
+                mcu_chunks, n_luma=n_luma)
 
         f_sym_j = jax.jit(f_sym)
         out["block_pack"] = _sync_time(f_sym_j, coeffs, iters=iters)

@@ -321,7 +321,7 @@ def _shard_fn_norestart_pallas(imgs, *, quality, subsampling, use_fused,
     # Mosaic kernels); virtual padding interleaves per image tail
     mw, ml = entropy_pack.block_pack_mcu_pairs(
         coeffs.reshape(b_loc * n_mcu, bx64), cls.astype(jnp.int32),
-        dcd.reshape(-1), b, chunks)
+        dcd.reshape(-1), b, chunks, n_luma=n_luma)
     if pad_v:
         mw = jnp.pad(mw.reshape(b_loc, n_mcu, -1),
                      ((0, 0), (0, pad_v), (0, 0)))

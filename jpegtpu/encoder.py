@@ -138,7 +138,7 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
         # order, skipping the 50 MB transpose (scripts/tpu_trace_ab.py)
         mwords, mlens = entropy_pack.block_pack_mcu_pairs(
             coeffs, cls.astype(jnp.int32), dcd, b, mcu_chunks,
-            mcu_major_segs=n_seg)
+            mcu_major_segs=n_seg, n_luma=n_luma)
         seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
             mwords, mlens, n_seg, mcus_per_seg, w_cap, mcu_major=True)
     elif restart == 0 and n_seg == 1 and n_mcu >= _VSEG:
@@ -148,7 +148,8 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
         # (dcd was computed restartless above) — then bit-join them
         # (the splits are bit-unaligned, entropy_pack.bit_join).
         mwords, mlens = entropy_pack.block_pack_mcu_pairs(
-            coeffs, cls.astype(jnp.int32), dcd, b, mcu_chunks)
+            coeffs, cls.astype(jnp.int32), dcd, b, mcu_chunks,
+            n_luma=n_luma)
         mps_v = -(-n_mcu // _VSEG)
         pad_v = _VSEG * mps_v - n_mcu
         if pad_v:
@@ -171,7 +172,8 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
         seg_bits = total_bits.reshape(1)
     else:
         mwords, mlens = entropy_pack.block_pack_mcu_pairs(
-            coeffs, cls.astype(jnp.int32), dcd, b, mcu_chunks)
+            coeffs, cls.astype(jnp.int32), dcd, b, mcu_chunks,
+            n_luma=n_luma)
         if pad_mcu:  # ragged last segment: append silent (0-length) MCUs
             mwords = jnp.concatenate(
                 [mwords,
@@ -218,13 +220,14 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
     if _mcu_major_ok(0, mcus_per_seg, mcu_chunks):
         mwords, mlens = entropy_pack.block_pack_mcu_pairs(
             flat, cls.astype(jnp.int32), dcd, b, mcu_chunks,
-            mcu_major_segs=bsz * n_seg)
+            mcu_major_segs=bsz * n_seg, n_luma=n_luma)
         seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
             mwords, mlens, bsz * n_seg, mcus_per_seg, w_cap,
             mcu_major=True)
     else:
         mwords, mlens = entropy_pack.block_pack_mcu_pairs(
-            flat, cls.astype(jnp.int32), dcd, b, mcu_chunks)
+            flat, cls.astype(jnp.int32), dcd, b, mcu_chunks,
+            n_luma=n_luma)
         seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
             mwords, mlens, bsz * n_seg, mcus_per_seg, w_cap)
     frames_per_seg = seg_words.shape[1] // 1024

@@ -102,13 +102,22 @@ def _size_category(av):
     return jnp.where(av > 0, e - 126, 0)
 
 
-def _symbolize_pair(c, cls2, dcd2, ac_tbl_ref, dc_tbl_ref):
+def _symbolize_pair(c, cls2, dcd2, ac_tbl_ref, dc_tbl_ref,
+                    static_cls=None):
     """Kernel B core on one two-block row group: lanes [0,64) are block
     A's zigzag slots, [64,128) block B's. Every scan/select masks on
     k = lane%64, so the two halves never interact and all ops run at
     native vector width. [T,128] i32 (+[T,2] class, [T,2] dcdiff) ->
     ([T,128] u32 packed words: A's stream in lanes [0,64), B's in
-    [64,128); [T,2] i32 total bit lengths)."""
+    [64,128); [T,2] i32 total bit lengths).
+
+    static_cls: when the caller knows BOTH blocks of the pair share one
+    Huffman class (trace-time constant — true for every pair in the 420
+    and 422 MCU layouts), the AC table lookup touches only that class's
+    2 chunks of the packed 512-entry table: 2 lane-gathers instead of 4.
+    The gather passes are the kernel's measured cost (docs/PERF.md:
+    rank 7 + ps_at 4 + LUT 5 per pair); this trims LUT to 3. cls2 must
+    agree with static_cls (asserted by the bit-parity tests)."""
     t = c.shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (t, 128), 1)
     k = lane & 63                                       # slot within block
@@ -148,11 +157,16 @@ def _symbolize_pair(c, cls2, dcd2, ac_tbl_ref, dc_tbl_ref):
     d_size2 = _size_category(jnp.abs(dcd2))             # [T2, 2]
 
     # --- Huffman lookup: native 128-lane gathers over the packed table.
-    idx = cls * 256 + rs                                # [T2,128] in [0,512)
+    if static_cls is None:
+        idx = cls * 256 + rs                            # [T2,128] in [0,512)
+        chunk_set = range(4)
+    else:
+        idx = static_cls * 256 + rs                     # 2 chunks only
+        chunk_set = (2 * static_cls, 2 * static_cls + 1)
     low = idx & 127
     chunk = jnp.right_shift(idx, 7)
     packed = jnp.zeros((t, 128), jnp.int32)
-    for ci in range(4):
+    for ci in chunk_set:
         tbl_c = jnp.broadcast_to(ac_tbl_ref[ci:ci + 1, :], (t, 128))
         g = jnp.take_along_axis(tbl_c, low, axis=1)
         packed = jnp.where(chunk == ci, g, packed)
@@ -468,7 +482,8 @@ def mcu_merge(words: jax.Array, lens: jax.Array, g: int,
 
 def _block_pack_mcu_kernel(coeffs_ref, cls_ref, dcd_ref, ac_tbl_ref,
                            dc_tbl_ref, mwords_ref, mlens_ref,
-                           *, g: int, chunks: int):
+                           *, g: int, chunks: int,
+                           n_luma: int | None = None):
     """Kernels B+C fused: symbolize + per-block pack + MCU merge with the
     per-block streams never leaving registers (saves the full [N,56]
     HBM round trip and the mcu_merge kernel's streaming floor).
@@ -484,9 +499,18 @@ def _block_pack_mcu_kernel(coeffs_ref, cls_ref, dcd_ref, ac_tbl_ref,
     pair_tot = []
     for p in range(g2):
         c = coeffs_ref[:, 128 * p:128 * (p + 1)].astype(jnp.int32)
+        # Static per-pair class when the MCU layout fixes it (420/422:
+        # luma blocks first, then Cb, Cr; an odd-g dummy block is never
+        # merged, so it inherits its neighbor's class harmlessly).
+        static_cls = None
+        if n_luma is not None:
+            ca = int(min(2 * p, g - 1) >= n_luma)
+            cb = int(min(2 * p + 1, g - 1) >= n_luma)
+            if ca == cb:
+                static_cls = ca
         w_p, tot_p = _symbolize_pair(
             c, cls_a[:, 2 * p:2 * p + 2], dcd_a[:, 2 * p:2 * p + 2],
-            ac_tbl_ref, dc_tbl_ref)
+            ac_tbl_ref, dc_tbl_ref, static_cls=static_cls)
         pair_words.append(w_p)
         pair_tot.append(tot_p)
 
@@ -519,7 +543,8 @@ def _block_pack_mcu_kernel(coeffs_ref, cls_ref, dcd_ref, ac_tbl_ref,
 
 
 def block_pack_mcu(coeffs: jax.Array, cls: jax.Array, dcdiff: jax.Array,
-                   g: int, chunks: int | None = None):
+                   g: int, chunks: int | None = None,
+                   n_luma: int | None = None):
     """[N, 64] i32 zigzag blocks in MCU-major order (+[N] class, [N]
     dcdiff) -> ([N/g, chunks*128] u32 MCU streams, [N/g] i32 bit
     lengths). Bit-identical to mcu_merge(*block_pack(...), g, chunks);
@@ -527,12 +552,13 @@ def block_pack_mcu(coeffs: jax.Array, cls: jax.Array, dcdiff: jax.Array,
     n = coeffs.shape[0]
     assert n % g == 0
     return block_pack_mcu_pairs(coeffs.reshape(n // g, g * 64), cls,
-                                dcdiff, g, chunks)
+                                dcdiff, g, chunks, n_luma=n_luma)
 
 
 def block_pack_mcu_pairs(c2: jax.Array, cls: jax.Array, dcdiff: jax.Array,
                          g: int, chunks: int | None = None,
-                         mcu_major_segs: int | None = None):
+                         mcu_major_segs: int | None = None,
+                         n_luma: int | None = None):
     """block_pack_mcu on the pairs/native form: c2 [nM, g*64] with
     block-major columns (block i's zigzag slots at columns [64i, 64i+64))
     — the device kernel's own input layout, so production paths whose
@@ -573,7 +599,8 @@ def block_pack_mcu_pairs(c2: jax.Array, cls: jax.Array, dcdiff: jax.Array,
                                    jnp.zeros(pad * g, cls.dtype)])
             dcdiff = jnp.concatenate([dcdiff.reshape(-1),
                                       jnp.zeros(pad * g, dcdiff.dtype)])
-            mw, ml = block_pack_mcu_pairs(c2, cls, dcdiff, g, chunks)
+            mw, ml = block_pack_mcu_pairs(c2, cls, dcdiff, g, chunks,
+                                          n_luma=n_luma)
             return mw[:nm], ml[:nm]
     g2 = (g + 1) // 2
     cls2 = cls.reshape(nm, g)
@@ -584,7 +611,8 @@ def block_pack_mcu_pairs(c2: jax.Array, cls: jax.Array, dcdiff: jax.Array,
         dcd2 = jnp.pad(dcd2, ((0, 0), (0, 1)))
     ac_tbl = jnp.asarray(_lut_tables())
     dc_tbl = jnp.asarray(_dc_tables())
-    kernel = functools.partial(_block_pack_mcu_kernel, g=g, chunks=chunks)
+    kernel = functools.partial(_block_pack_mcu_kernel, g=g, chunks=chunks,
+                               n_luma=n_luma)
     if mcu_major_segs:
         n_seg_p = -(-mcu_major_segs // 8) * 8
         out_specs = (

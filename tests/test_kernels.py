@@ -766,3 +766,24 @@ def test_budget_escalation_virtual_split(monkeypatch):
     finally:
         enc_mod._jitted_encode.cache_clear()
     assert pallas_bytes == xla_bytes
+
+
+@pytest.mark.parametrize("g,n_luma", [(6, 4), (4, 2), (3, 1), (2, 2),
+                                      (1, 1)])
+def test_block_pack_mcu_static_class_bit_identical(g, n_luma):
+    """The static-class AC-LUT fast path (n_luma hint: 2 table gathers
+    per uniform pair instead of 4) must be bit-identical to the generic
+    path for every MCU layout, including the mixed 444 pair and the
+    odd-g dummy block."""
+    rng = np.random.default_rng(g * 10 + n_luma)
+    n_mcu = 24
+    coeffs = _random_blocks(rng, n_mcu, g).reshape(-1, 64)
+    cls = (np.arange(n_mcu * g, dtype=np.int32) % g >= n_luma) \
+        .astype(np.int32)
+    dcd = rng.integers(-500, 500, n_mcu * g).astype(np.int32)
+    a_w, a_l = ep.block_pack_mcu(jnp.asarray(coeffs), jnp.asarray(cls),
+                                 jnp.asarray(dcd), g)
+    b_w, b_l = ep.block_pack_mcu(jnp.asarray(coeffs), jnp.asarray(cls),
+                                 jnp.asarray(dcd), g, n_luma=n_luma)
+    np.testing.assert_array_equal(np.asarray(a_w), np.asarray(b_w))
+    np.testing.assert_array_equal(np.asarray(a_l), np.asarray(b_l))

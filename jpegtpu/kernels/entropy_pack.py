@@ -1569,34 +1569,58 @@ def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
         # strictly increasing (every full word expands to >= 1 output
         # word), so each is a unique gather — no prefix sums needed.
         # Plane-edge lanes take the previous plane's tail ranks.
-        if _COMPACT_ATTR_MODE == "norank":
-            out_planes = [w0, w1, w2]    # timing attribution only
-        else:
-            out_planes = []
-            prev_r = [jnp.zeros((8, 1), jnp.int32)] * 2  # ranks 128p-1,-2
-            for p in range(3):
-                q = lane8 + 128 * p
-                r0 = rank_at(q)
-                r1 = jnp.where(lane8 == 0, prev_r[0],
-                               pltpu.roll(r0, 1, axis=1))
-                r2 = jnp.where(lane8 == 0, prev_r[1],
-                               jnp.where(lane8 == 1, prev_r[0],
-                                         pltpu.roll(r0, 2, axis=1)))
-                outp = (val_at(w0, r0 - 1, q) |
-                        val_at(w1, r1 - 1, q - 1) |
-                        val_at(w2, r2 - 1, q - 2))
-                out_planes.append(outp)
-                prev_r = [
-                    jnp.take_along_axis(r0, jnp.full_like(lane8, 127 - k),
-                                        axis=1)[:, 0:1]
-                    for k in range(2)]
+        def build_plane(p, prev_r):
+            q = lane8 + 128 * p
+            r0 = rank_at(q)
+            r1 = jnp.where(lane8 == 0, prev_r[0],
+                           pltpu.roll(r0, 1, axis=1))
+            r2 = jnp.where(lane8 == 0, prev_r[1],
+                           jnp.where(lane8 == 1, prev_r[0],
+                                     pltpu.roll(r0, 2, axis=1)))
+            outp = (val_at(w0, r0 - 1, q) |
+                    val_at(w1, r1 - 1, q - 1) |
+                    val_at(w2, r2 - 1, q - 2))
+            tail = [
+                jnp.take_along_axis(r0, jnp.full_like(lane8, 127 - k),
+                                    axis=1)[:, 0:1]
+                for k in range(2)]
+            return outp, tail
 
-        if _COMPACT_ATTR_MODE == "noplace":
-            for p in range(3):           # timing attribution only
-                win = win | jnp.pad(out_planes[p], ((0, 24), (0, 0)))
+        if _COMPACT_ATTR_MODE is None:
+            # Planes 0 and 1 always exist (any in-row misalignment spills
+            # past word 128); plane 2 (q in [256, 384)) receives data only
+            # when some row's expanded stream reaches output word 254
+            # (w2 of a source targeting 254 lands at q=256) — which needs
+            # ~500 stuffed bytes in a 512-byte row. Skip its rank search,
+            # gathers and window placement for every other chunk: a third
+            # of the kernel's vector work on real content.
+            prev_r = [jnp.zeros((8, 1), jnp.int32)] * 2  # ranks 128p-1,-2
+            for p in range(2):
+                outp, prev_r = build_plane(p, prev_r)
+                win = place_rows(win, outp, t_base + 128 * p)
+            t_max = jnp.max(jnp.where(wexp > 0, t_rel, 0))
+
+            def with_p2(w):
+                outp, _ = build_plane(2, prev_r)
+                return place_rows(w, outp, t_base + 256)
+
+            win = jax.lax.cond(t_max >= 254, with_p2, lambda w: w, win)
         else:
-            for p in range(3):
-                win = place_rows(win, out_planes[p], t_base + 128 * p)
+            # timing-attribution modes keep the unconditional 3-plane path
+            if _COMPACT_ATTR_MODE == "norank":
+                out_planes = [w0, w1, w2]
+            else:
+                out_planes = []
+                prev_r = [jnp.zeros((8, 1), jnp.int32)] * 2
+                for p in range(3):
+                    outp, prev_r = build_plane(p, prev_r)
+                    out_planes.append(outp)
+            if _COMPACT_ATTR_MODE == "noplace":
+                for p in range(3):
+                    win = win | jnp.pad(out_planes[p], ((0, 24), (0, 0)))
+            else:
+                for p in range(3):
+                    win = place_rows(win, out_planes[p], t_base + 128 * p)
 
         win = flush_and_zero(win, cur, cur + slen)
         return s, win, nch

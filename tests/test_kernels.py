@@ -787,3 +787,24 @@ def test_block_pack_mcu_static_class_bit_identical(g, n_luma):
                                  jnp.asarray(dcd), g, n_luma=n_luma)
     np.testing.assert_array_equal(np.asarray(a_w), np.asarray(b_w))
     np.testing.assert_array_equal(np.asarray(a_l), np.asarray(b_l))
+
+
+def test_compact_stuffed_all_ff_rows():
+    """A fully-0xFF segment doubles under stuffing, pushing rows past
+    output word 254 — the only content class that needs the compact
+    kernel's third output plane (taken conditionally since round 3)."""
+    n_seg, frames = 2, 2
+    by = np.full((n_seg, frames * 4096), 0xFF, np.uint8)
+    rng = np.random.default_rng(11)
+    by[1] = rng.integers(0, 256, frames * 4096, dtype=np.uint8)
+    seg_bits = np.array([5000 * 8, 300 * 8], np.int32)
+    nbytes = (seg_bits + 7) // 8
+    b4 = by.reshape(n_seg, -1, 4).astype(np.uint32)
+    words = ((b4[..., 0] << 24) | (b4[..., 1] << 16) |
+             (b4[..., 2] << 8) | b4[..., 3])
+    expected = _stuff_oracle([by[s, :nbytes[s]] for s in range(n_seg)], 4)
+    stream, _, total = ep.compact_segments_stuffed(
+        jnp.asarray(words), jnp.asarray(seg_bits), frames, 4)
+    raw = np.asarray(stream).view(np.uint8)[:int(total)]
+    assert int(total) == len(expected)
+    assert raw.tobytes() == expected

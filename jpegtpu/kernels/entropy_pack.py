@@ -1156,6 +1156,12 @@ def _stuff_precompute(seg_words: jax.Array, seg_bits: jax.Array,
 # "noexp" the byte-expansion math; outputs are garbage in those modes.
 _COMPACT_ATTR_MODE = None
 
+# Conditional third output plane (lax.cond on the row-max expanded
+# target): False restores the unconditional 3-plane path — the A/B
+# baseline and the instant revert if the cond misbehaves under Mosaic
+# (scripts/tpu_round3.py validates before any bench).
+_COMPACT_SKIP_P2 = True
+
 
 def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
                           mnum_ref, frames_ref, out_ref, chunk_ref,
@@ -1357,7 +1363,7 @@ def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
                 for k in range(2)]
             return outp, tail
 
-        if _COMPACT_ATTR_MODE is None:
+        if _COMPACT_ATTR_MODE is None and _COMPACT_SKIP_P2:
             # Planes 0 and 1 always exist (any in-row misalignment spills
             # past word 128); plane 2 (q in [256, 384)) receives data only
             # when some row's expanded stream reaches output word 254

@@ -1531,5 +1531,11 @@ def compact_segments_stuffed(seg_words: jax.Array, seg_bits: jax.Array,
 
 # Oracle-tier merge generations (v1/v2 + mcu_merge) live in
 # entropy_oracles; re-exported here for compatibility (tests, scripts).
-from jpegtpu.kernels.entropy_oracles import (mcu_merge, seg_merge,  # noqa: E402,F401
-                                             seg_merge_v2)
+# Lazy (PEP 562) so the two modules have no import cycle — a top-level
+# import here would break `import jpegtpu.kernels.entropy_oracles` run
+# first (it imports this module's helpers at its own top level).
+def __getattr__(name):
+    if name in ("mcu_merge", "seg_merge", "seg_merge_v2"):
+        from jpegtpu.kernels import entropy_oracles
+        return getattr(entropy_oracles, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

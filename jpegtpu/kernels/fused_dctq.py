@@ -163,6 +163,24 @@ def encode_blocks_pairs(img: jax.Array, quality: int,
     return c.reshape(*b, n_mcu, nb * 64)
 
 
+def _pixel_geometry(img: jax.Array, quality: int, subsampling: str):
+    """Shared setup for the Pallas pixel kernels: (padded image, batch
+    dims, operator m/bias, and the MCU-row grid numbers). r_blk keeps
+    ~1k MCUs per grid step, bounded by VMEM."""
+    mh, mw = ops.mcu_shape(subsampling)
+    row_bytes = mw * 3
+    m, bias = mcu_operator(quality, subsampling)
+    padded = ops.pad_to_multiple(jnp.asarray(img), (mh, mw))
+    *b, h, w, _ = padded.shape
+    nry, nrx = h // mh, w // mw
+    bsz = int(np.prod(b)) if b else 1
+    rows = bsz * nry
+    r_blk = max(1, min(8, -(-960 // nrx)))
+    pad_rows = (-rows) % r_blk
+    return (padded, b, m, bias, mh, row_bytes, mh * row_bytes,
+            m.shape[1], nry * nrx, nrx, rows, r_blk, pad_rows)
+
+
 def encode_blocks_pallas_pairs(img: jax.Array, quality: int,
                                subsampling: str) -> jax.Array:
     """encode_blocks_pallas in the kernel's NATIVE pairs layout (see
@@ -173,20 +191,8 @@ def encode_blocks_pallas_pairs(img: jax.Array, quality: int,
         c = encode_blocks(img, quality, subsampling)
         *b, n_mcu, nb, _ = c.shape
         return c.reshape(*b, n_mcu, nb * 64)
-    mh, mw = ops.mcu_shape(subsampling)
-    row_bytes = mw * 3
-    in_dim = mh * row_bytes
-    m, bias = mcu_operator(quality, subsampling)
-    out_dim = m.shape[1]
-    padded = ops.pad_to_multiple(jnp.asarray(img), (mh, mw))
-    *b, h, w, _ = padded.shape
-    nry, nrx = h // mh, w // mw
-    n_mcu = nry * nrx
-    bsz = int(np.prod(b)) if b else 1
-    rows = bsz * nry
-    # grid step size: keep ~1k MCUs per step, bounded by VMEM
-    r_blk = max(1, min(8, -(-960 // nrx)))
-    pad_rows = (-rows) % r_blk
+    (padded, b, m, bias, mh, row_bytes, in_dim, out_dim, n_mcu, nrx,
+     rows, r_blk, pad_rows) = _pixel_geometry(img, quality, subsampling)
     x = (padded ^ jnp.uint8(0x80)).view(jnp.int8)
     x = x.reshape(rows, mh, nrx, row_bytes)
     if pad_rows:
@@ -269,19 +275,8 @@ def encode_blocks_pallas_dma_pairs(img: jax.Array, quality: int,
         c = encode_blocks(img, quality, subsampling)
         *b, n_mcu, nb, _ = c.shape
         return c.reshape(*b, n_mcu, nb * 64)
-    mh, mw = ops.mcu_shape(subsampling)
-    row_bytes = mw * 3
-    in_dim = mh * row_bytes
-    m, bias = mcu_operator(quality, subsampling)
-    out_dim = m.shape[1]
-    padded = ops.pad_to_multiple(jnp.asarray(img), (mh, mw))
-    *b, h, w, _ = padded.shape
-    nry, nrx = h // mh, w // mw
-    n_mcu = nry * nrx
-    bsz = int(np.prod(b)) if b else 1
-    rows = bsz * nry
-    r_blk = max(1, min(8, -(-960 // nrx)))
-    pad_rows = (-rows) % r_blk
+    (padded, b, m, bias, mh, row_bytes, in_dim, out_dim, n_mcu, nrx,
+     rows, r_blk, pad_rows) = _pixel_geometry(img, quality, subsampling)
     x = padded.reshape(rows, mh, nrx, row_bytes)       # free metadata view
     if pad_rows:
         x = jnp.concatenate(

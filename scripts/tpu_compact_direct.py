@@ -9,16 +9,13 @@ it — this does, against the host stuffing oracle."""
 
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-
-
-def log(msg):
-    print(f"[{time.strftime('%H:%M:%S')}] {msg}", flush=True)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from tpu_stages_common import log  # noqa: E402
 
 
 def stuff_oracle(seg_bytes_list, restart, mnum=None):

@@ -85,8 +85,6 @@ def main():
     float(probe(out_x))
     log("both full programs warm")
 
-    nb = int(np.asarray(out_x[2 if len(out_x) > 2 else 1]).max()) \
-        if False else None  # noqa: F841  (kept simple: compare streams)
     sx = np.asarray(out_x[0])
     sk = np.asarray(out_k[0])
     log(f"full-program stream identical: {np.array_equal(sx, sk)}")

@@ -34,6 +34,9 @@ def log(msg):
 
 
 def run(name, argv, timeout, retries=1, gate=False):
+    """Returns 'ok', 'fail' (nonzero rc — a real result), or 'timeout'
+    (tunnel wedge — NOT a failure; the step never produced a verdict)."""
+    timed_out = False
     for attempt in range(retries + 1):
         log(f"=== {name} (attempt {attempt + 1}) ===")
         try:
@@ -43,6 +46,7 @@ def run(name, argv, timeout, retries=1, gate=False):
         except subprocess.TimeoutExpired:
             log(f"{name}: TIMEOUT after {timeout}s (wedge?) — "
                 f"{'retrying' if attempt < retries else 'giving up'}")
+            timed_out = True
             time.sleep(60)
             continue
         tail = "\n".join((p.stdout + p.stderr).splitlines()[-25:])
@@ -51,13 +55,14 @@ def run(name, argv, timeout, retries=1, gate=False):
         if p.returncode == 0:
             log(f"{name}: OK")
             print(tail, flush=True)
-            return True
+            return "ok"
         log(f"{name}: rc={p.returncode}")
         print(tail, flush=True)
         if gate:
-            return False
+            return "fail"
+        timed_out = False
         time.sleep(30)
-    return False
+    return "timeout" if timed_out else "fail"
 
 
 def main():
@@ -74,11 +79,18 @@ def main():
          False),
     ]
     for name, argv, timeout, gate in steps:
-        ok = run(name, argv, timeout, gate=gate)
-        if gate and not ok:
-            log(f"GATE FAILED at {name} — stopping; see memory note "
-                f"round3-hw-validation-queue for the revert plan")
+        status = run(name, argv, timeout, gate=gate)
+        if gate and status == "fail":
+            log(f"GATE FAILED at {name} — a kernel produced wrong bytes; "
+                f"stopping. See memory note round3-hw-validation-queue "
+                f"for the revert plan")
             return 1
+        if gate and status == "timeout":
+            log(f"GATE {name} never completed (tunnel wedge, NOT a "
+                f"failure) — kernels remain unvalidated; stopping so no "
+                f"perf number is taken on unvalidated kernels. Rerun "
+                f"when the tunnel recovers")
+            return 2
     log("round3 TPU queue complete")
     return 0
 

@@ -77,7 +77,9 @@ def main():
     if "bench" in stages:
         log("=== bench ===")
         import bench
-        rc = bench.main()
+        # run_bench, not supervise: this session's interpreter already
+        # holds the backend; spawning retry children would be wrong here.
+        rc = bench.run_bench()
         log(f"bench rc={rc}")
 
     if "subsample" in stages:

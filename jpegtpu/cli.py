@@ -35,6 +35,10 @@ def _add_encode_flags(p):
                         "padded/subsampled chroma) as PGMs for inspection — "
                         "the reference's debug-artifact workflow (SURVEY "
                         "§4.1) as an opt-in flag")
+    p.add_argument("--batch", action="store_true",
+                   help="throughput mode: load inputs concurrently and "
+                        "run same-shaped color groups as ONE device "
+                        "program (encoder.encode_batch)")
 
 
 def _config(args):
@@ -46,6 +50,47 @@ def _config(args):
                          device_bitpack=not args.host_bitpack)
 
 
+def _out_path(args, path) -> str:
+    if args.output and len(args.inputs) == 1:
+        return args.output
+    base = args.output or ""
+    stem = os.path.splitext(os.path.basename(path))[0] + ".jpg"
+    return (os.path.join(base, stem) if base
+            else os.path.splitext(path)[0] + ".jpg")
+
+
+def _cmd_encode_batch(args, cfg) -> int:
+    """Throughput mode: concurrent loads (native PNM fast path), then one
+    fused device program per same-shaped color group; gray/odd-one-out
+    images fall back to the per-image encoder inside encode_batch."""
+    import dataclasses
+
+    from jpegtpu import encoder as enc_mod
+    from jpegtpu.io import loader
+
+    imgs = loader.load_images(args.inputs)
+    groups = loader.group_by_shape(imgs)
+    jpgs: dict = {}
+    t0 = time.perf_counter()
+    for shape, idxs in groups.items():
+        sub = cfg.subsampling if len(shape) == 3 else "gray"
+        gcfg = dataclasses.replace(cfg, subsampling=sub)
+        files = enc_mod.encode_batch([imgs[i] for i in idxs], config=gcfg)
+        jpgs.update(zip(idxs, files))
+    dt = time.perf_counter() - t0
+    total = 0
+    for i, path in enumerate(args.inputs):
+        out = _out_path(args, path)
+        with open(out, "wb") as f:
+            f.write(jpgs[i])
+        total += len(jpgs[i])
+    mpix = sum(im.shape[0] * im.shape[1] for im in imgs) / 1e6
+    print(f"{len(imgs)} images ({len(groups)} shape group"
+          f"{'s' if len(groups) != 1 else ''}) -> {total} bytes in "
+          f"{dt * 1e3:.1f} ms ({mpix / dt:.1f} MPix/s incl. compile)")
+    return 0
+
+
 def cmd_encode(args) -> int:
     from jpegtpu.encoder import Encoder
     from jpegtpu.io import ppm
@@ -53,6 +98,8 @@ def cmd_encode(args) -> int:
     import dataclasses
 
     cfg = _config(args)
+    if args.batch and len(args.inputs) > 1:
+        return _cmd_encode_batch(args, cfg)
     enc = Encoder(cfg)
     gray_enc = None
     outputs = []
@@ -72,13 +119,7 @@ def cmd_encode(args) -> int:
         t0 = time.perf_counter()
         jpg = use.encode(img)
         dt = time.perf_counter() - t0
-        if args.output and len(args.inputs) == 1:
-            out = args.output
-        else:
-            base = args.output or ""
-            stem = os.path.splitext(os.path.basename(path))[0] + ".jpg"
-            out = os.path.join(base, stem) if base else \
-                os.path.splitext(path)[0] + ".jpg"
+        out = _out_path(args, path)
         with open(out, "wb") as f:
             f.write(jpg)
         outputs.append(out)

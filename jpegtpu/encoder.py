@@ -423,15 +423,19 @@ def encode_cpu(img: np.ndarray, quality: int = 50, subsampling: str = "420",
                           scan_bytes)
 
 
-def encode_batch(imgs: Sequence[np.ndarray], **kw) -> List[bytes]:
+def encode_batch(imgs: Sequence[np.ndarray],
+                 config: EncoderConfig | None = None, **kw) -> List[bytes]:
     """Encode a batch of images.
 
     Same-shaped uint8 batches on TPU run as ONE device program over
     [B, H, W, 3] (fixed dispatch/compile overhead amortized across the
     batch); anything else falls back to a shared per-image Encoder. The
-    multi-chip sharded path lives in jpegtpu.dist.
+    multi-chip sharded path lives in jpegtpu.dist. Pass a prebuilt
+    EncoderConfig as `config`, or EncoderConfig fields as keywords.
     """
-    cfg = EncoderConfig(**kw) if kw else EncoderConfig()
+    if config is not None and kw:
+        raise TypeError("pass either config= or EncoderConfig keywords")
+    cfg = config or (EncoderConfig(**kw) if kw else EncoderConfig())
     imgs = list(imgs)
     shapes = {im.shape for im in imgs}
     if (len(imgs) > 1 and len(shapes) == 1 and

@@ -142,3 +142,28 @@ def test_cli_verify_fails_on_corrupt_scan(tmp_path, smooth_img,
     rc = main(["verify", str(src), "-q", "85"])
     assert rc == 1
     assert "FAIL" in capsys.readouterr().out
+
+
+def test_cli_encode_batch_mode(tmp_path, smooth_img, capsys):
+    """--batch groups same-shaped inputs through encode_batch (one device
+    program per group on TPU; per-image fallback elsewhere) and writes
+    every output, including a gray odd-one-out in its own group."""
+    rng = np.random.default_rng(2)
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"c{i}.ppm"
+        ppm.write_pnm(p, smooth_img)
+        paths.append(str(p))
+    gray = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    gp = tmp_path / "g.pgm"
+    ppm.write_pnm(gp, gray)
+    paths.append(str(gp))
+    rc = main(["encode", "--batch", *paths, "-q", "85"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "2 shape groups" in out
+    from PIL import Image
+    for i in range(3):
+        dec = Image.open(tmp_path / f"c{i}.jpg")
+        assert dec.size == (smooth_img.shape[1], smooth_img.shape[0])
+    assert Image.open(tmp_path / "g.jpg").size == (24, 16)

@@ -808,3 +808,55 @@ def test_compact_stuffed_all_ff_rows():
     raw = np.asarray(stream).view(np.uint8)[:int(total)]
     assert int(total) == len(expected)
     assert raw.tobytes() == expected
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_compact_stuffed_fuzz(seed):
+    """Property test over the device stuffing kernel: random segment
+    counts/lengths (biased toward 4 KB frame edges), random FF density
+    (incl. stretches dense enough to take the conditional third plane),
+    and random trailing-marker patterns (the sharded mnum override) —
+    byte-equal to the host oracle."""
+    rng = np.random.default_rng(1000 + seed)
+    n_seg = int(rng.integers(1, 5))
+    frames = int(rng.integers(1, 4))
+    by = rng.integers(0, 256, (n_seg, frames * 4096), dtype=np.uint8)
+    dens = rng.uniform(0, 1, n_seg) ** 3          # mostly light, some heavy
+    for s in range(n_seg):
+        by[s, rng.random(frames * 4096) < dens[s]] = 0xFF
+    # segment byte lengths: half the time land near a frame edge
+    nbytes = np.empty(n_seg, np.int64)
+    for s in range(n_seg):
+        if rng.random() < 0.5:
+            nbytes[s] = int(rng.integers(1, frames)) * 4096 \
+                + int(rng.integers(-3, 3)) if frames > 1 else \
+                int(rng.integers(1, frames * 4096))
+        else:
+            nbytes[s] = int(rng.integers(1, frames * 4096))
+        nbytes[s] = max(1, min(frames * 4096, nbytes[s]))
+    seg_bits = (nbytes * 8).astype(np.int32)
+    # random marker pattern (0 = none), incl. trailing markers
+    mnum = np.where(rng.random(n_seg) < 0.7,
+                    0xD0 + rng.integers(0, 8, n_seg), 0).astype(np.int32)
+    b4 = by.reshape(n_seg, -1, 4).astype(np.uint32)
+    words = ((b4[..., 0] << 24) | (b4[..., 1] << 16) |
+             (b4[..., 2] << 8) | b4[..., 3])
+
+    parts = []
+    for s in range(n_seg):
+        raw = by[s, :nbytes[s]]
+        idx = np.flatnonzero(raw == 0xFF)
+        parts.append((np.insert(raw, idx + 1, 0) if idx.size else raw)
+                     .tobytes())
+        if mnum[s]:
+            parts.append(bytes((0xFF, int(mnum[s]))))
+    expected = b"".join(parts)
+
+    stream, _, total = ep.compact_segments_stuffed(
+        jnp.asarray(words), jnp.asarray(seg_bits), frames, 4,
+        mnum=jnp.asarray(mnum))
+    raw = np.asarray(stream).view(np.uint8)[:int(total)]
+    assert int(total) == len(expected), (seed, n_seg, frames,
+                                         nbytes.tolist(), mnum.tolist())
+    assert raw.tobytes() == expected, (seed, n_seg, frames,
+                                       nbytes.tolist(), mnum.tolist())

@@ -127,19 +127,38 @@ def run_bench() -> int:
     # Correctness gate: the full encode must produce a JPEG an independent
     # decoder accepts, at sane fidelity — a corrupted scan body cannot post
     # a headline number.
-    enc = Encoder(cfg)
-    jpg = enc.encode(img)
-    assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
-    import io as _io
+    def gated_encode():
+        enc = Encoder(cfg)
+        jpg = enc.encode(img)
+        assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+        import io as _io
 
-    from PIL import Image
-    dec = np.asarray(Image.open(_io.BytesIO(jpg)).convert("RGB"),
-                     dtype=np.float64)
-    mse = float(np.mean((dec - img.astype(np.float64)) ** 2))
-    psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
-    # PIL's own encoder yields 27.3 dB on this content at q90 4:2:0 (the
-    # sigma-12 noise bounds it); gate just below encoder parity.
-    assert psnr > 26.0, f"decoded PSNR {psnr:.2f} dB — corrupt output?"
+        from PIL import Image
+        dec = np.asarray(Image.open(_io.BytesIO(jpg)).convert("RGB"),
+                         dtype=np.float64)
+        mse = float(np.mean((dec - img.astype(np.float64)) ** 2))
+        psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+        # PIL's own encoder yields 27.3 dB on this content at q90 4:2:0
+        # (the sigma-12 noise bounds it); gate just below encoder parity.
+        assert psnr > 26.0, f"decoded PSNR {psnr:.2f} dB — corrupt output?"
+        return jpg, psnr
+
+    from jpegtpu.kernels import entropy_pack as ep
+    try:
+        jpg, psnr = gated_encode()
+    except Exception as e:
+        if not ep._COMPACT_SKIP_P2:
+            raise
+        # The conditional-plane compact kernel is the newest Mosaic
+        # construct in the program; if compilation or the correctness
+        # gate fails, fall back to the hardware-validated unconditional
+        # path rather than losing the round's official artifact.
+        print(f"[bench] production config failed ({type(e).__name__}: "
+              f"{e}); retrying with _COMPACT_SKIP_P2=False",
+              file=sys.stderr, flush=True)
+        ep._COMPACT_SKIP_P2 = False
+        _jitted_encode.cache_clear()
+        jpg, psnr = gated_encode()
 
     # Device-pipeline throughput, amortized: frames are queued back-to-back
     # (steady-state pipelining) and one dependent scalar fetch at the end
@@ -173,6 +192,7 @@ def run_bench() -> int:
         "vs_baseline": round(mpix_s / target, 3),
         "psnr_db": round(psnr, 2),
         "bytes": len(jpg),
+        "compact_p2_skip": bool(ep._COMPACT_SKIP_P2),
     }))
     return 0
 

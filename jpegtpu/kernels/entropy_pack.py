@@ -38,6 +38,7 @@ packing never ran on device at all.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -1159,8 +1160,10 @@ _COMPACT_ATTR_MODE = None
 # Conditional third output plane (lax.cond on the row-max expanded
 # target): False restores the unconditional 3-plane path — the A/B
 # baseline and the instant revert if the cond misbehaves under Mosaic
-# (scripts/tpu_round3.py validates before any bench).
-_COMPACT_SKIP_P2 = True
+# (scripts/tpu_round3.py validates before any bench; bench.py falls back
+# automatically if the production config fails its correctness gate).
+# Env override: JPEGTPU_COMPACT_P2=0.
+_COMPACT_SKIP_P2 = os.environ.get("JPEGTPU_COMPACT_P2", "1") != "0"
 
 
 def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,

@@ -23,6 +23,7 @@ and the rare image that overflows escalates to the worst-case bound
 from __future__ import annotations
 
 import functools
+import os
 import warnings
 from typing import List, Sequence, Tuple
 
@@ -53,6 +54,13 @@ def _pixel_path(img, quality: str, subsampling: str, use_fused: bool):
     return ops.encode_blocks(img, quality, subsampling)
 
 
+# Pixel-path selector for the fused tier: "xla" (production; XLA fuses
+# the MCU tiling into neighbors) or "dma" (the round-3 DMA-input Pallas
+# kernel — flip after scripts/tpu_probe_pixel_dma.py shows an in-context
+# win with byte equality). Env override: JPEGTPU_PIXEL_PATH.
+_PIXEL_PATH_IMPL = os.environ.get("JPEGTPU_PIXEL_PATH", "xla")
+
+
 def _pixel_path_pairs(img, quality: str, subsampling: str, use_fused: bool):
     """Pixel path for the Pallas production programs, in the pairs/native
     layout [..., nMCU, B*64] (block-major columns). On supported
@@ -62,6 +70,9 @@ def _pixel_path_pairs(img, quality: str, subsampling: str, use_fused: bool):
     feeds entropy_pack.block_pack_mcu_pairs with zero relayout."""
     from jpegtpu.kernels import fused_dctq
     if use_fused:
+        if _PIXEL_PATH_IMPL == "dma":
+            return fused_dctq.encode_blocks_pallas_dma_pairs(
+                img, quality, subsampling)
         return fused_dctq.encode_blocks_pairs(img, quality, subsampling)
     c = ops.encode_blocks(img, quality, subsampling)
     *b, n_mcu, nb, _ = c.shape

@@ -860,3 +860,29 @@ def test_compact_stuffed_fuzz(seed):
                                          nbytes.tolist(), mnum.tolist())
     assert raw.tobytes() == expected, (seed, n_seg, frames,
                                        nbytes.tolist(), mnum.tolist())
+
+
+def test_encoder_dma_pixel_path_end_to_end(monkeypatch):
+    """_PIXEL_PATH_IMPL='dma' routes the Pallas tier through the DMA-input
+    pixel kernel; the complete encode must stay byte-identical to the XLA
+    oracle encoder (the production-flip precondition)."""
+    import jpegtpu.encoder as enc_mod
+    import jpegtpu.kernels.entropy_pack as epk
+    from jpegtpu.config import EncoderConfig
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    cfg = EncoderConfig(quality=85, subsampling="420",
+                        restart_interval="rows")
+    xla_bytes = enc_mod.Encoder(cfg).encode(img)
+
+    monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
+    monkeypatch.setattr(enc_mod, "_PIXEL_PATH_IMPL", "dma")
+    enc_mod._jitted_encode.cache_clear()
+    try:
+        pallas_bytes = enc_mod.Encoder(cfg).encode(img)
+    finally:
+        enc_mod._jitted_encode.cache_clear()
+    assert pallas_bytes == xla_bytes

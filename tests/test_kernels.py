@@ -886,3 +886,31 @@ def test_encoder_dma_pixel_path_end_to_end(monkeypatch):
     finally:
         enc_mod._jitted_encode.cache_clear()
     assert pallas_bytes == xla_bytes
+
+
+@pytest.mark.parametrize("sub", ["422", "444", "gray"])
+def test_encoder_pallas_path_all_subsamplings(sub, monkeypatch):
+    """Encoder-level byte parity of the Pallas tier for the non-420 MCU
+    layouts — 422 (uniform pairs, static-class fast path), 444 (mixed
+    luma/chroma pair, generic fallback + odd-g dummy), gray (g=1) —
+    against the XLA oracle encoder, rows-restart."""
+    import jpegtpu.encoder as enc_mod
+    import jpegtpu.kernels.entropy_pack as epk
+    from jpegtpu.config import EncoderConfig
+
+    rng = np.random.default_rng(ord(sub[0]))
+    shape = (40, 48) if sub == "gray" else (40, 48, 3)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    cfg = EncoderConfig(quality=80, subsampling=sub,
+                        restart_interval="rows")
+    xla_bytes = enc_mod.Encoder(cfg).encode(img)
+
+    monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
+    enc_mod._jitted_encode.cache_clear()
+    try:
+        pallas_bytes = enc_mod.Encoder(cfg).encode(img)
+    finally:
+        enc_mod._jitted_encode.cache_clear()
+    assert pallas_bytes == xla_bytes

@@ -56,8 +56,12 @@ def _pixel_path(img, quality: str, subsampling: str, use_fused: bool):
 
 # Pixel-path selector for the fused tier: "xla" (production; XLA fuses
 # the MCU tiling into neighbors) or "dma" (the round-3 DMA-input Pallas
-# kernel — flip after scripts/tpu_probe_pixel_dma.py shows an in-context
-# win with byte equality). Env override: JPEGTPU_PIXEL_PATH.
+# kernel). HW VERDICT 2026-08-19: "dma" FAILS Mosaic compilation on the
+# real chip — explicit make_async_copy slices on an ANY-space memref
+# require (8, 128)-aligned trailing dims, and no 4D view of a 4:2:0
+# image satisfies that (proof in fused_dctq.encode_blocks_pallas_dma_
+# pairs). Kept as the negative-result record; interpret mode still runs
+# it. Env override: JPEGTPU_PIXEL_PATH.
 _PIXEL_PATH_IMPL = os.environ.get("JPEGTPU_PIXEL_PATH", "xla")
 
 

@@ -764,6 +764,9 @@ def seg_merge_v3(words: jax.Array, lens: jax.Array, n_seg: int, bps: int,
     max_mcu_bits exceeds mcu_capacity(...)[1] or any seg_bits exceeds the
     frame capacity."""
     g = blocks_per_mcu
+    # Lazy: mcu_merge lives in entropy_oracles (module __getattr__ does not
+    # cover global lookups inside function bodies, only attribute access).
+    from jpegtpu.kernels.entropy_oracles import mcu_merge
     mwords, mlens = mcu_merge(words, lens, g, mcu_chunks)
     return seg_merge_mcu(mwords, mlens, n_seg, bps // g, w_cap,
                          block_mcus)
@@ -1158,12 +1161,14 @@ def _stuff_precompute(seg_words: jax.Array, seg_bits: jax.Array,
 _COMPACT_ATTR_MODE = None
 
 # Conditional third output plane (lax.cond on the row-max expanded
-# target): False restores the unconditional 3-plane path — the A/B
-# baseline and the instant revert if the cond misbehaves under Mosaic
-# (scripts/tpu_round3.py validates before any bench; bench.py falls back
-# automatically if the production config fails its correctness gate).
-# Env override: JPEGTPU_COMPACT_P2=0.
-_COMPACT_SKIP_P2 = os.environ.get("JPEGTPU_COMPACT_P2", "1") != "0"
+# target). TESTED NEGATIVE RESULT (2026-08-19, scripts/tpu_ab_compact_p2
+# on the real chip): byte-identical in-context, but ZERO speedup —
+# 6.20 vs 6.16 ms/frame over 3 interleaved reps; the t_max reduction +
+# cond overhead (or Mosaic executing both branches) cancels the skipped
+# third of the vector work. Default stays the simpler unconditional
+# 3-plane path; the flag remains for re-measurement on future
+# toolchains. Env override: JPEGTPU_COMPACT_P2=1 enables the skip.
+_COMPACT_SKIP_P2 = os.environ.get("JPEGTPU_COMPACT_P2", "0") != "0"
 
 
 def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,

@@ -267,10 +267,22 @@ def encode_blocks_pallas_dma_pairs(img: jax.Array, quality: int,
                                    subsampling: str) -> jax.Array:
     """encode_blocks_pallas_pairs with kernel-managed input DMAs (see
     _pixel_kernel_dma) — the VERDICT-r2 'transpose inside the kernel
-    input path' candidate. Bit-identical to the XLA twin (interpret-mode
-    tests; hardware via scripts/tpu_bisect.py before any production
-    flip). Falls back to the XLA path for geometries the kernel does not
-    cover."""
+    input path' candidate. Bit-identical to the XLA twin in interpret
+    mode.
+
+    HARDWARE NEGATIVE RESULT (2026-08-19): Mosaic rejects the input DMA
+    on a real chip — "Slice shape along dimension 3 must be aligned to
+    tiling (128), but is 48". The ANY-space HBM operand gets an (8,128)-
+    tiled layout, and every dim of a memref slice must align to it. No
+    4D view of the 4:2:0 image can satisfy that: grouping g MCUs per
+    lane block needs 48*g % 128 == 0 (=> g % 8 == 0, since
+    48g = 128k => 3g = 8k) AND a sublane dim 240/g % 8 == 0 (=> g <= 30
+    and g | 30) — contradictory, so the DMA-engine-scatter formulation
+    is impossible for this geometry, not merely unimplemented. The
+    remaining route to killing the ~1.29 ms XLA tiling materialization
+    is an IN-KERNEL relayout from the natural [rows, W*3] layout (row
+    slabs are trivially aligned), which costs a lanes->sublanes
+    transpose in VMEM instead."""
     if subsampling != "420":
         c = encode_blocks(img, quality, subsampling)
         *b, n_mcu, nb, _ = c.shape

@@ -52,10 +52,17 @@ def main():
     ep._COMPACT_SKIP_P2 = True
     enc_mod._jitted_encode.cache_clear()
 
-    sa = np.asarray(outs["p2-skip"][0])
-    sb = np.asarray(outs["baseline"][0])
-    log(f"stream identical: {np.array_equal(sa, sb)}")
-    assert np.array_equal(sa, sb), "IN-CONTEXT MISMATCH — do not ship"
+    # Compare the VALID scan prefix only: bytes past `total` are never
+    # DMA'd (slack frames of separately allocated buffers — arbitrary
+    # garbage, diagnosed slack-only by scripts/tpu_diag_p2.py on HW).
+    ta = int(np.asarray(outs["p2-skip"][3]))
+    tb = int(np.asarray(outs["baseline"][3]))
+    sa = np.asarray(outs["p2-skip"][0])[:ta]
+    sb = np.asarray(outs["baseline"][0])[:tb]
+    log(f"totals: {ta} vs {tb}; valid scan identical: "
+        f"{np.array_equal(sa, sb)}")
+    assert ta == tb and np.array_equal(sa, sb), \
+        "IN-CONTEXT MISMATCH — do not ship"
 
     def chain(fn, k):
         t0 = time.perf_counter()

@@ -143,20 +143,28 @@ def run_bench() -> int:
         assert psnr > 26.0, f"decoded PSNR {psnr:.2f} dB — corrupt output?"
         return jpg, psnr
 
+    from jpegtpu import encoder as enc_mod
     from jpegtpu.kernels import entropy_pack as ep
+    baseline_flags = (ep._COMPACT_KB == 1 and not ep._COMPACT_SKIP_P2 and
+                      not ep._BP_MERGE_ROT and
+                      enc_mod._PIXEL_PATH_IMPL == "xla")
     try:
         jpg, psnr = gated_encode()
     except Exception as e:
-        if not ep._COMPACT_SKIP_P2:
+        if baseline_flags:
             raise
-        # The conditional-plane compact kernel is the newest Mosaic
-        # construct in the program; if compilation or the correctness
-        # gate fails, fall back to the hardware-validated unconditional
-        # path rather than losing the round's official artifact.
+        # The batched compact kernel / natural-layout pixel kernel are
+        # the newest Mosaic constructs in the program; if compilation or
+        # the correctness gate fails, fall back to the round-2-validated
+        # baseline kernels rather than losing the round's official
+        # artifact.
         print(f"[bench] production config failed ({type(e).__name__}: "
-              f"{e}); retrying with _COMPACT_SKIP_P2=False",
+              f"{e}); retrying with round-2 baseline kernel flags",
               file=sys.stderr, flush=True)
+        ep._COMPACT_KB = 1
         ep._COMPACT_SKIP_P2 = False
+        ep._BP_MERGE_ROT = False
+        enc_mod._PIXEL_PATH_IMPL = "xla"
         _jitted_encode.cache_clear()
         jpg, psnr = gated_encode()
 
@@ -192,7 +200,9 @@ def run_bench() -> int:
         "vs_baseline": round(mpix_s / target, 3),
         "psnr_db": round(psnr, 2),
         "bytes": len(jpg),
-        "compact_p2_skip": bool(ep._COMPACT_SKIP_P2),
+        "compact_kb": int(ep._COMPACT_KB),
+        "bp_merge_rot": bool(ep._BP_MERGE_ROT),
+        "pixel_path": enc_mod._PIXEL_PATH_IMPL,
     }))
     return 0
 

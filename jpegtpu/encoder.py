@@ -54,15 +54,21 @@ def _pixel_path(img, quality: str, subsampling: str, use_fused: bool):
     return ops.encode_blocks(img, quality, subsampling)
 
 
-# Pixel-path selector for the fused tier: "xla" (production; XLA fuses
-# the MCU tiling into neighbors) or "dma" (the round-3 DMA-input Pallas
-# kernel). HW VERDICT 2026-08-19: "dma" FAILS Mosaic compilation on the
-# real chip — explicit make_async_copy slices on an ANY-space memref
-# require (8, 128)-aligned trailing dims, and no 4D view of a 4:2:0
-# image satisfies that (proof in fused_dctq.encode_blocks_pallas_dma_
-# pairs). Kept as the negative-result record; interpret mode still runs
-# it. Env override: JPEGTPU_PIXEL_PATH.
-_PIXEL_PATH_IMPL = os.environ.get("JPEGTPU_PIXEL_PATH", "xla")
+# Pixel-path selector for the fused tier:
+#   "nat" (production since round 3): natural-layout Pallas kernel —
+#         row-slab input (no XLA relayout materialization), in-kernel
+#         lanes->sublanes MCU transpose + MXU matmul. HW A/B 2026-08-19
+#         (scripts/tpu_ab_pixel_nat.py, full 4K program, interleaved):
+#         byte-identical, 5.10 vs 5.72 ms/frame — the ~1.29 ms XLA
+#         tiling chain (docs/PERF.md) drops to in-kernel relayout cost.
+#   "xla" fallback/oracle tier: XLA fuses the MCU tiling into neighbors.
+#   "dma" NEGATIVE RESULT 2026-08-19: FAILS Mosaic compilation on the
+#         real chip — explicit make_async_copy slices on an ANY-space
+#         memref require (8, 128)-aligned trailing dims, and no 4D view
+#         of a 4:2:0 image satisfies that (proof in fused_dctq.
+#         encode_blocks_pallas_dma_pairs). Interpret mode still runs it.
+# Env override: JPEGTPU_PIXEL_PATH.
+_PIXEL_PATH_IMPL = os.environ.get("JPEGTPU_PIXEL_PATH", "nat")
 
 
 def _pixel_path_pairs(img, quality: str, subsampling: str, use_fused: bool):
@@ -76,6 +82,9 @@ def _pixel_path_pairs(img, quality: str, subsampling: str, use_fused: bool):
     if use_fused:
         if _PIXEL_PATH_IMPL == "dma":
             return fused_dctq.encode_blocks_pallas_dma_pairs(
+                img, quality, subsampling)
+        if _PIXEL_PATH_IMPL == "nat":
+            return fused_dctq.encode_blocks_pallas_nat_pairs(
                 img, quality, subsampling)
         return fused_dctq.encode_blocks_pairs(img, quality, subsampling)
     c = ops.encode_blocks(img, quality, subsampling)

@@ -441,11 +441,34 @@ def _block_pack_mcu_kernel(coeffs_ref, cls_ref, dcd_ref, ac_tbl_ref,
         sh = jnp.right_shift(w_pad, r)
         sh = sh | jnp.left_shift(jnp.left_shift(rolled1, 1),
                                  (31 - r) & 31)
-        for ci in range(chunks):
-            idx = lane + (128 * ci) - q
-            valid = (idx >= 0) & (idx < 128)
-            gat = jnp.take_along_axis(sh, jnp.clip(idx, 0, 127), axis=1)
-            out_chunks[ci] = out_chunks[ci] | jnp.where(valid, gat, 0)
+        if _BP_MERGE_ROT:
+            # One per-row rotation to the in-chunk lane position, then
+            # masked chunk selects: a block's <= 65 stream words (64 +
+            # funnel spill) span exactly the chunk windows q>>7 and
+            # q>>7 + 1, so per-chunk gathers (the kernel's measured cost)
+            # reduce to one gather plus 2*chunks-1 cheap selects.
+            # Bit-identical to the per-chunk-gather form:
+            # rot[lane] = sh[(lane - q%128) & 127] places word j at
+            # absolute position q + j exactly as idx = lane+128*ci-q did.
+            m = q & 127
+            rot = pltpu.bitcast(
+                jnp.take_along_axis(pltpu.bitcast(sh, jnp.int32),
+                                    (lane - m) & 127, axis=1), jnp.uint32)
+            hi = jnp.where(lane >= m, rot, 0)
+            lo = jnp.where(lane < m, rot, 0)
+            ca = q >> 7
+            for ci in range(chunks):
+                out_chunks[ci] = out_chunks[ci] | jnp.where(ca == ci, hi, 0)
+                if ci:
+                    out_chunks[ci] = out_chunks[ci] | \
+                        jnp.where(ca + 1 == ci, lo, 0)
+        else:
+            for ci in range(chunks):
+                idx = lane + (128 * ci) - q
+                valid = (idx >= 0) & (idx < 128)
+                gat = jnp.take_along_axis(sh, jnp.clip(idx, 0, 127),
+                                          axis=1)
+                out_chunks[ci] = out_chunks[ci] | jnp.where(valid, gat, 0)
         off = off + pair_tot[p][:, hh:hh + 1]
     # ref shapes differ by a unit middle dim in mcu-major mode
     mwords_ref[...] = jnp.concatenate(
@@ -1469,11 +1492,304 @@ def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
         _out_copy(top).wait()
 
 
+def _compact_stuff_kernel_kb(off_ref, slen_ref, innb_ref, send_ref,
+                             nch_ref, mnum_ref, frames_ref, out_ref,
+                             chunk_ref, flush_ref, sem_in, sem_out,
+                             *, n_seg: int, f_per_seg: int, f_pad: int,
+                             out_frames: int, kb: int):
+    """_compact_stuff_kernel processing kb input chunks per serial
+    iteration.
+
+    Motivation (scripts/tpu_probe_compact_attr.py, 2026-08-19 on HW):
+    stubbing out each stage of the single-chunk kernel recovers only
+    0.47 + 0.14 + 0.04 ms of its 1.87 ms, and the gutted scaffold costs
+    62 ns/chunk — the loop is LATENCY-bound on the serial dependency
+    chain through the register window, not throughput-bound. Stacking
+    kb chunks on the sublane axis ([kb*8, 128]) gives the scheduler kb
+    independent expansion/rank chains per iteration (same trick as
+    seg_merge_mcu's s_rows: 8->32 rows took 1.31->0.80 ms at constant
+    vector work).
+
+    Differences from the single-chunk kernel:
+      * window is 8 frames ([64, 128]; 16 for kb > 3, whose doubled
+        placement-select cost made kb=4/6 LOSE on hardware — kb=3 is
+        the measured optimum) so one iteration's combined span
+        (<= kb*8 KB expanded) plus the in-progress frame never wraps
+        onto an unflushed frame;
+      * per-chunk cursor scalars come from arrays padded to f_pad
+        (= ceil-multiple of kb) per segment: padded chunks carry
+        in/out length 0 and cursor = segment data end, making them
+        exact no-ops in every stage (their DMA index is clamped);
+      * the row prefix-sum is group-masked so chunk boundaries on the
+        sublane axis do not accumulate across chunks;
+      * flushing happens once per iteration over the combined span
+        (placement order within an iteration is irrelevant: the window
+        is OR-accumulated and spans never alias within 8 frames).
+    Output bytes are identical to the single-chunk kernel by
+    construction; tests assert it on adversarial vectors and fuzz.
+    """
+    wf = 8 if kb <= 3 else 16                 # window frames (modular)
+    wr_n = wf * 8                             # window rows
+    k8 = kb * 8
+    lane = jax.lax.broadcasted_iota(jnp.int32, (k8, 128), 1)
+    suk = jax.lax.broadcasted_iota(jnp.int32, (k8, 1), 0)
+    suw = jax.lax.broadcasted_iota(jnp.int32, (wr_n, 1), 0)
+    lanew = jax.lax.broadcasted_iota(jnp.int32, (wr_n, 128), 1)
+    gw = (suk & 7) * 128 + lane               # word index within chunk
+
+    def bswap(w):
+        return (jnp.right_shift(w, 24) |
+                (jnp.right_shift(w, 8) & jnp.uint32(0xFF00)) |
+                (jnp.left_shift(w & jnp.uint32(0xFF00), 8)) |
+                jnp.left_shift(w, 24))
+
+    def place_rows(win, planes, t_vec):
+        """OR row r of planes [k8,128] into the modular window at
+        absolute out word t_vec[r] ([k8,1])."""
+        m = t_vec & 127
+        idx = (lane - m) & 127
+        rot = pltpu.bitcast(
+            jnp.take_along_axis(pltpu.bitcast(planes, jnp.int32), idx,
+                                axis=1), jnp.uint32)
+        hi = jnp.where(lane >= m, rot, 0)
+        lo = jnp.where(lane < m, rot, 0)
+        wr = (t_vec >> 7) & (wr_n - 1)
+        for r in range(k8):
+            win = win | jnp.where(suw == wr[r:r + 1], hi[r:r + 1, :], 0)
+            win = win | jnp.where(suw == ((wr[r:r + 1] + 1) & (wr_n - 1)),
+                                  lo[r:r + 1, :], 0)
+        return win
+
+    def _out_copy(fi):
+        return pltpu.make_async_copy(
+            flush_ref.at[fi & 1],
+            out_ref.at[jnp.minimum(fi, out_frames - 1)],
+            sem_out.at[fi & 1])
+
+    def flush_frame(win, fi):
+        """Stage frame fi's 8 window rows into flush slot fi&1 and start
+        the DMA (see the single-chunk kernel's protocol notes)."""
+        @pl.when(fi >= 2)
+        def _():
+            _out_copy(fi - 2).wait()
+        for par in range(wf):
+            @pl.when((fi & (wf - 1)) == par)
+            def _(par=par):
+                flush_ref[par & 1] = bswap(win[par * 8:(par + 1) * 8, :])
+        _out_copy(fi).start()
+
+    def flush_and_zero(win, cur, end):
+        """DMA out every frame completed in [cur, end); zero its rows."""
+        win0 = win
+        f0 = cur >> 12
+        f1 = end >> 12
+        for t in range(2 * kb + 1):           # kb chunks expand < 2kb+1 fr
+            fi = f0 + t
+
+            @pl.when(fi < f1)
+            def _(fi=fi):
+                flush_frame(win0, fi)
+            zmask = (fi < f1) & ((suw >> 3) == (fi & (wf - 1)))
+            win = jnp.where(zmask, 0, win)
+        return win
+
+    def _in_copy(s, j, slot, k):
+        idx = jnp.minimum(j * kb + k, f_per_seg - 1)   # clamped: padded
+        return pltpu.make_async_copy(frames_ref.at[s, idx],
+                                     chunk_ref.at[slot, k],
+                                     sem_in.at[slot, k])
+
+    def group_body(j, state):
+        s, win, nj = state
+        slot = j & 1
+        for k in range(kb):
+            _in_copy(s, j, slot, k).wait()
+
+        @pl.when(j + 1 < nj)
+        def _():
+            for k in range(kb):
+                _in_copy(s, j + 1, 1 - slot, k).start()
+        ch = chunk_ref[slot].reshape(k8, 128)
+
+        base = s * f_pad + j * kb
+        curs = [off_ref[0, base + k, 0] for k in range(kb)]
+        rems = [innb_ref[0, base + k, 0] for k in range(kb)]
+        slens = [slen_ref[0, base + k, 0] for k in range(kb)]
+
+        def vec(vals):
+            cid = suk >> 3
+            acc = jnp.full((k8, 1), vals[0], jnp.int32)
+            for k in range(1, kb):
+                acc = jnp.where(cid == k, vals[k], acc)
+            return acc
+
+        cur_v = vec(curs)
+        rem_v = vec(rems)
+
+        b = [jnp.right_shift(ch, sh) & 0xFF for sh in (24, 16, 8, 0)]
+        valid = [((4 * gw + k) < rem_v) for k in range(4)]
+        f = [(b[k] == 0xFF) & valid[k] for k in range(4)]
+        e = [jnp.where(valid[k], 1 + f[k].astype(jnp.int32), 0)
+             for k in range(4)]
+        p1 = e[0]
+        p2 = p1 + e[1]
+        p3 = p2 + e[2]
+        wexp = p3 + e[3]
+
+        def at_pos(bk, vk, pk):
+            lo_sh = ((3 - pk) & 3) * 8
+            hi_sh = ((7 - pk) & 3) * 8
+            v0c = jnp.where(vk & (pk <= 3),
+                            jnp.left_shift(bk, lo_sh.astype(jnp.uint32)), 0)
+            v1c = jnp.where(vk & (pk >= 4),
+                            jnp.left_shift(bk, hi_sh.astype(jnp.uint32)), 0)
+            return v0c, v1c
+
+        v0 = jnp.where(valid[0], jnp.left_shift(b[0], 24), jnp.uint32(0))
+        v1 = jnp.zeros((k8, 128), jnp.uint32)
+        for k, pk in ((1, p1), (2, p2), (3, p3)):
+            c0, c1 = at_pos(b[k], valid[k], pk)
+            v0 = v0 | c0
+            v1 = v1 | c1
+
+        incl = _cumlog(wexp, jnp.add, 0, axis=1)
+        row_tot = incl[:, 127:128]
+        # Group-masked sublane prefix sum: rows of different chunks must
+        # not accumulate into each other (masks from the suk iota —
+        # pallas forbids captured array constants).
+        x = row_tot
+        step = 1
+        while step < 8:
+            ok = (suk >= step) & ((suk >> 3) == ((suk - step) >> 3))
+            x = x + jnp.where(ok, pltpu.roll(x, step, axis=0), 0)
+            step *= 2
+        row_base = x - row_tot
+        o_glob = cur_v + row_base + incl - wexp      # [k8,128] out byte
+        phi = ((o_glob & 3) * 8).astype(jnp.uint32)
+        t_abs = o_glob >> 2
+        w0 = jnp.right_shift(v0, phi)
+        w1 = (jnp.left_shift(jnp.left_shift(v0, 1), (31 - phi) & 31) |
+              jnp.right_shift(v1, phi))
+        w2 = jnp.left_shift(jnp.left_shift(v1, 1), (31 - phi) & 31)
+        t_base = (cur_v + row_base) >> 2             # [k8,1]
+        t_rel = t_abs - t_base                       # in [0, 258]
+        t_rel = jnp.where(wexp > 0, t_rel, jnp.int32(1 << 14))
+
+        def rank_at(q):
+            pos = jnp.zeros((k8, 128), jnp.int32)
+            for step in (128, 64, 32, 16, 8, 4, 2, 1):
+                cand = pos + step
+                probe = jnp.take_along_axis(
+                    t_rel, jnp.minimum(cand, 128) - 1, axis=1)
+                pos = jnp.where((cand <= 128) & (probe <= q), cand, pos)
+            return pos
+
+        def val_at(vals, jj, eq_q):
+            jc = jnp.maximum(jj, 0)
+            t = jnp.take_along_axis(t_rel, jc, axis=1)
+            v = pltpu.bitcast(
+                jnp.take_along_axis(pltpu.bitcast(vals, jnp.int32), jc,
+                                    axis=1), jnp.uint32)
+            return jnp.where((jj >= 0) & (t == eq_q), v, 0)
+
+        def build_plane(p, prev_r):
+            q = lane + 128 * p
+            r0 = rank_at(q)
+            r1 = jnp.where(lane == 0, prev_r[0],
+                           pltpu.roll(r0, 1, axis=1))
+            r2 = jnp.where(lane == 0, prev_r[1],
+                           jnp.where(lane == 1, prev_r[0],
+                                     pltpu.roll(r0, 2, axis=1)))
+            outp = (val_at(w0, r0 - 1, q) |
+                    val_at(w1, r1 - 1, q - 1) |
+                    val_at(w2, r2 - 1, q - 2))
+            tail = [
+                jnp.take_along_axis(r0, jnp.full_like(lane, 127 - k),
+                                    axis=1)[:, 0:1]
+                for k in range(2)]
+            return outp, tail
+
+        prev_r = [jnp.zeros((k8, 1), jnp.int32)] * 2
+        for p in range(3):
+            outp, prev_r = build_plane(p, prev_r)
+            win = place_rows(win, outp, t_base + 128 * p)
+
+        win = flush_and_zero(win, curs[0], curs[kb - 1] + slens[kb - 1])
+        return s, win, nj
+
+    def seg_body(s, win):
+        nch = nch_ref[0, s, 0]
+        nj = (nch + kb - 1) // kb
+
+        @pl.when(nj > 0)
+        def _():
+            for k in range(kb):
+                _in_copy(s, 0, 0, k).start()
+        _, win, _ = jax.lax.fori_loop(0, nj, group_body, (s, win, nj))
+        send = send_ref[0, s, 0]
+        mnum = mnum_ref[0, s, 0]
+        mk = jnp.where(mnum > 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+        m32 = (jnp.uint32(0xFF000000) |
+               jnp.left_shift(mnum.astype(jnp.uint32), 16)) & mk
+        phi = ((send & 3) * 8).astype(jnp.uint32)
+        w0 = jnp.right_shift(m32, phi)
+        w1 = jnp.left_shift(jnp.left_shift(m32, 1), (31 - phi) & 31)
+        for val, t in ((w0, send >> 2), (w1, (send >> 2) + 1)):
+            win = win | jnp.where((suw == ((t >> 7) & (wr_n - 1))) &
+                                  (lanew == (t & 127)), val, 0)
+        win = flush_and_zero(win, send,
+                             send + jnp.where(mnum > 0, 2, 0))
+        return win
+
+    zero_win = jnp.zeros((wr_n, 128), jnp.uint32)
+    win = jax.lax.fori_loop(0, n_seg, seg_body, zero_win)
+
+    # Final partial frame + drain (see the single-chunk kernel).
+    total = (send_ref[0, n_seg - 1, 0] +
+             jnp.where(mnum_ref[0, n_seg - 1, 0] > 0, 2, 0))
+    last = total >> 12
+    partial = (total & 4095) > 0
+    top = jnp.where(partial, last, last - 1)
+
+    @pl.when(partial)
+    def _():
+        flush_frame(win, last)
+
+    @pl.when(top >= 1)
+    def _():
+        _out_copy(top - 1).wait()
+
+    @pl.when(top >= 0)
+    def _():
+        _out_copy(top).wait()
+
+
+# Chunks per serial iteration in the device stuffing kernel: 1 = the
+# round-2 single-chunk kernel; 2/3 = the batched kernel (latency hiding
+# via kb independent expansion chains per iteration). HW A/B 2026-08-19
+# (scripts/tpu_ab_compact_kb.py, full 4K program, interleaved): kb=1
+# 6.24 ms, kb=2 5.92, kb=3 5.71 — confirming the attribution probe's
+# latency-bound diagnosis. kb=4/6 require a 16-frame window whose
+# placement-select cost dominates (7.9 / 6.9 ms) — tested negative
+# results. Env override: JPEGTPU_COMPACT_KB.
+_COMPACT_KB = int(os.environ.get("JPEGTPU_COMPACT_KB", "3"))
+
+# Rotate-once + masked-chunk-select MCU merge in block_pack_mcu (vs the
+# per-chunk-gather form). TESTED NEGATIVE RESULT (2026-08-19,
+# scripts/tpu_ab_bp_merge.py on HW): byte-identical, zero speedup
+# (5.72-5.78 vs 5.66-5.76 ms interleaved) — trading 2 gathers for
+# ~5 selects per block is cost-neutral; block_pack is not simply
+# gather-count-bound. Default stays the long-validated gather form.
+# Env override: JPEGTPU_BP_MERGE_ROT=1.
+_BP_MERGE_ROT = os.environ.get("JPEGTPU_BP_MERGE_ROT", "0") != "0"
+
+
 def compact_segments_stuffed(seg_words: jax.Array, seg_bits: jax.Array,
                              frames_per_seg: int, restart: int,
                              segs_per_image: int | None = None,
                              mnum: jax.Array | None = None,
-                             full_offsets: bool = False):
+                             full_offsets: bool = False,
+                             k_chunks: int | None = None):
     """[n_seg, F*1024] u32 + [n_seg] bits -> (scan stream u32 (byte-swapped:
     raw final scan bytes in order), image_offsets [n_images] i32,
     total_scan_bytes i32 scalar).
@@ -1488,9 +1804,15 @@ def compact_segments_stuffed(seg_words: jax.Array, seg_bits: jax.Array,
     byte after each segment (0 = no marker). May be a traced array — the
     sharded encoder computes it from the mesh row index so marker
     numbering runs across row shards. full_offsets returns every
-    segment's stuffed byte start [n_seg] instead of image offsets."""
+    segment's stuffed byte start [n_seg] instead of image offsets.
+
+    k_chunks selects chunks per serial kernel iteration (default: the
+    module flag _COMPACT_KB); >1 uses the latency-hiding batched kernel
+    (_compact_stuff_kernel_kb), byte-identical output."""
     n_seg = seg_words.shape[0]
     f = frames_per_seg
+    kb = _COMPACT_KB if k_chunks is None else k_chunks
+    assert 1 <= kb <= 6
     spi = segs_per_image or n_seg
     assert n_seg % spi == 0
     if mnum is None:
@@ -1501,9 +1823,25 @@ def compact_segments_stuffed(seg_words: jax.Array, seg_bits: jax.Array,
         _stuff_precompute(seg_words, seg_bits, f, mnum)
     img_off = seg_start if full_offsets else seg_start[::spi]
     out_frames = n_seg * f * 2 + 1
-    kernel = functools.partial(
-        _compact_stuff_kernel, n_seg=n_seg, f_per_seg=f,
-        out_frames=out_frames)
+    if kb == 1:
+        kernel = functools.partial(
+            _compact_stuff_kernel, n_seg=n_seg, f_per_seg=f,
+            out_frames=out_frames)
+        f_pad = f
+    else:
+        f_pad = -(-f // kb) * kb
+        if f_pad != f:
+            # Padded chunks: cursor = segment data end, lengths 0 — exact
+            # no-ops in every kernel stage (see the kernel docstring).
+            tail = chunk_off[:, -1:] + out_chunk[:, -1:]
+            chunk_off = jnp.concatenate(
+                [chunk_off] + [tail] * (f_pad - f), axis=1)
+            zpad = [(0, 0), (0, f_pad - f)]
+            out_chunk = jnp.pad(out_chunk, zpad)
+            in_chunk = jnp.pad(in_chunk, zpad)
+        kernel = functools.partial(
+            _compact_stuff_kernel_kb, n_seg=n_seg, f_per_seg=f,
+            f_pad=f_pad, out_frames=out_frames, kb=kb)
     out = pl.pallas_call(
         kernel,
         in_specs=[
@@ -1518,16 +1856,18 @@ def compact_segments_stuffed(seg_words: jax.Array, seg_bits: jax.Array,
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((out_frames, 8, 128), jnp.uint32),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, 128), jnp.uint32),     # double-buffered in
+            pltpu.VMEM((2, 8, 128), jnp.uint32) if kb == 1 else
+            pltpu.VMEM((2, kb, 8, 128), jnp.uint32),  # dbl-buffered in
             pltpu.VMEM((2, 8, 128), jnp.uint32),     # double-buffered out
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)) if kb == 1 else
+            pltpu.SemaphoreType.DMA((2, kb)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(chunk_off.reshape(1, n_seg * f, 1),
-      out_chunk.reshape(1, n_seg * f, 1),
-      in_chunk.reshape(1, n_seg * f, 1),
+    )(chunk_off.reshape(1, n_seg * f_pad, 1),
+      out_chunk.reshape(1, n_seg * f_pad, 1),
+      in_chunk.reshape(1, n_seg * f_pad, 1),
       seg_end.reshape(1, n_seg, 1),
       nchunks.reshape(1, n_seg, 1),
       jnp.asarray(mnum).reshape(1, n_seg, 1),

@@ -149,15 +149,16 @@ def encode_blocks_pairs(img: jax.Array, quality: int,
     entropy_pack.block_pack_mcu ([T, G2*128]: pair p's 128 lanes hold
     blocks 2p/2p+1), so downstream consumes it with zero relayout.
 
-    Computed by the XLA fused path: an in-context device-trace A/B
-    (scripts/tpu_trace_ab.py, tpu_ab_pixel.py) showed XLA fuses the MCU
-    tiling into neighbors down to ~0.25 ms/4K frame, while the Pallas
-    pixel kernel — 8x faster STANDALONE (0.21 vs 1.75 ms) — carries
-    ~0.45 ms of un-fusable input prep (pad + xor + 4D relayout
-    materialization) in the full program: 6.7 vs 7.1 ms/frame whole-
-    pipeline. encode_blocks_pallas_pairs keeps the kernel variant
-    hardware-validated for geometries where the trade flips (and as the
-    negative-result record)."""
+    Computed by the XLA fused path — since round 3 this is the ORACLE /
+    fallback tier; production is encode_blocks_pallas_nat_pairs (the
+    natural-layout kernel, selected by encoder._PIXEL_PATH_IMPL). An
+    in-context device-trace A/B (scripts/tpu_trace_ab.py, tpu_ab_pixel.
+    py) showed XLA fuses the MCU tiling into neighbors down to ~0.25
+    ms/4K frame, while the 4D-input Pallas pixel kernel — 8x faster
+    STANDALONE (0.21 vs 1.75 ms) — carries ~0.45 ms of un-fusable input
+    prep in the full program: 6.7 vs 7.1 ms/frame whole-pipeline.
+    encode_blocks_pallas_pairs keeps that variant as the
+    negative-result record."""
     c = encode_blocks(img, quality, subsampling)
     *b, n_mcu, nb, _ = c.shape
     return c.reshape(*b, n_mcu, nb * 64)
@@ -316,6 +317,96 @@ def encode_blocks_pallas_dma_pairs(img: jax.Array, quality: int,
             pltpu.VMEM((nrx, in_dim), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
+        interpret=_interpret(),
+    )(x, jnp.asarray(m), jnp.asarray(bias.reshape(1, out_dim)))
+    y = y[:rows * nrx]
+    return y.reshape(*b, n_mcu, out_dim)
+
+
+def _pixel_kernel_nat(x_ref, m_ref, b_ref, o_ref, scr, *, r_blk, nrx, mh,
+                      row_bytes, grp):
+    """Pixel kernel consuming the image in its NATURAL row-major layout.
+
+    x_ref [r_blk*mh, nrx*row_bytes] u8 is a plain row-slab of the padded
+    image — every block dim is (8,128)-aligned, so XLA hands the pallas
+    operand over WITHOUT materializing a relayout (the ~1.29 ms/4K cost
+    of the XLA tiling chain, docs/PERF.md; the DMA-scatter route is
+    provably impossible, see encode_blocks_pallas_dma_pairs). The
+    lanes->sublanes MCU tiling transpose happens INSIDE the kernel as a
+    Mosaic register relayout, in the one formulation Mosaic accepts on
+    hardware (scripts/tpu_probe_pixel_nat.py, probe P3 — the direct
+    [mh, nrx, row_bytes] lane split is an unaligned shape cast and is
+    REJECTED): 128-aligned `grp`-MCU group split + swapaxes, then static
+    row_bytes-lane slices re-stacked per in-group MCU index; finally one
+    MXU matmul. grp = 128 / gcd(128, row_bytes) MCUs per lane group
+    (8 for 420/422's 48 B rows, 16 for 444's 24 B rows)."""
+    ng = nrx // grp                                  # grp-MCU lane groups
+    gb = grp * row_bytes                             # 128-aligned
+    for b in range(r_blk):
+        v = pltpu.bitcast(x_ref[b * mh:(b + 1) * mh, :], jnp.int8) ^ \
+            jnp.int8(-128)
+        z = v.astype(jnp.float32) + 128.0            # exact u8 restore
+        # [mh, ng, gb] -> [ng, mh*gb]: aligned (gb is a 128 multiple)
+        r2 = jnp.swapaxes(z.reshape(mh, ng, gb), 0,
+                          1).reshape(ng, mh * gb)
+        # r2[g, y*gb + i*rb + c] = z[y, g*grp+i, c]; gather each in-group
+        # MCU i's rows via static rb-lane slices, stack -> tile matrix.
+        cols = []
+        for i in range(grp):
+            sl = [r2[:, y * gb + i * row_bytes:
+                     y * gb + (i + 1) * row_bytes]
+                  for y in range(mh)]
+            cols.append(jnp.concatenate(sl, axis=1))  # [ng, mh*rb]
+        scr[...] = jnp.stack(cols, axis=1).reshape(nrx, mh * row_bytes)
+        acc = jnp.dot(scr[...], m_ref[...],
+                      preferred_element_type=jnp.float32) + b_ref[...]
+        r = jnp.sign(acc) * jnp.floor(jnp.abs(acc) + 0.5)
+        o_ref[b * nrx:(b + 1) * nrx, :] = r.astype(jnp.int32)
+
+
+def encode_blocks_pallas_nat_pairs(img: jax.Array, quality: int,
+                                   subsampling: str) -> jax.Array:
+    """encode_blocks_pairs computed by the natural-layout Pallas kernel
+    (_pixel_kernel_nat). Bit-identical to the XLA twin; falls back to
+    the XLA path for geometries the kernel does not cover.
+
+    NOTE: the fused operator expects MCU pixels flattened (y, x, c); the
+    in-kernel swapaxes yields (x-major within row_bytes) == the same
+    (y, x, c) order per MCU row, since row_bytes = mw*3 spans one MCU's
+    row exactly: scr[j, y*row_bytes + (x*3+c)] = img[.., y, j*mw+x, c]."""
+    if subsampling not in ("420", "422", "444"):
+        c = encode_blocks(img, quality, subsampling)
+        *b, n_mcu, nb, _ = c.shape
+        return c.reshape(*b, n_mcu, nb * 64)
+    (padded, b, m, bias, mh, row_bytes, in_dim, out_dim, n_mcu, nrx,
+     rows, r_blk, pad_rows) = _pixel_geometry(img, quality, subsampling)
+    grp = 128 // np.gcd(128, row_bytes)  # MCUs per 128-aligned lane group
+    if nrx % grp:                        # P3 needs whole lane groups
+        return encode_blocks_pairs(img, quality, subsampling)
+    *_, h, w, _c3 = padded.shape
+    x = padded.reshape(rows * mh, nrx * row_bytes)     # free row-major view
+    if pad_rows:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad_rows * mh, nrx * row_bytes), jnp.uint8)])
+    grid_rows = rows + pad_rows
+    kernel = functools.partial(_pixel_kernel_nat, r_blk=r_blk, nrx=nrx,
+                               mh=mh, row_bytes=row_bytes, grp=grp)
+    y = pl.pallas_call(
+        kernel,
+        grid=(grid_rows // r_blk,),
+        in_specs=[
+            pl.BlockSpec((r_blk * mh, nrx * row_bytes), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((in_dim, out_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, out_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r_blk * nrx, out_dim), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid_rows * nrx, out_dim),
+                                       jnp.int32),
+        scratch_shapes=[pltpu.VMEM((nrx, in_dim), jnp.float32)],
         interpret=_interpret(),
     )(x, jnp.asarray(m), jnp.asarray(bias.reshape(1, out_dim)))
     y = y[:rows * nrx]

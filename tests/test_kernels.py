@@ -283,11 +283,13 @@ def _stuff_oracle(seg_bytes_list, restart):
     return b"".join(parts)
 
 
+@pytest.mark.parametrize("kb", [1, 2, 3])
 @pytest.mark.parametrize("restart", [0, 4])
 @pytest.mark.parametrize("seed", [0, 1])
-def test_compact_stuffed_matches_oracle(restart, seed):
+def test_compact_stuffed_matches_oracle(restart, seed, kb):
     """Device-side stuffing+RST splicing must reproduce the host scan
-    assembly byte for byte, including FF-heavy content and masked tails."""
+    assembly byte for byte, including FF-heavy content and masked tails.
+    kb > 1 runs the chunk-batched kernel (same bytes required)."""
     rng = np.random.default_rng(seed)
     n_seg, frames = 3, 2
     # Build the big-endian byte stream first (seg streams are BE words:
@@ -308,14 +310,16 @@ def test_compact_stuffed_matches_oracle(restart, seed):
                              restart)
 
     stream, img_off, total = ep.compact_segments_stuffed(
-        jnp.asarray(words), jnp.asarray(seg_bits), frames, restart)
+        jnp.asarray(words), jnp.asarray(seg_bits), frames, restart,
+        k_chunks=kb)
     raw = np.asarray(stream).view(np.uint8)[:int(total)]
     assert int(total) == len(expected)
     assert raw.tobytes() == expected
 
 
+@pytest.mark.parametrize("kb", [1, 2, 3])
 @pytest.mark.parametrize("resid", [4093, 4094, 4095])
-def test_compact_stuffed_trailing_marker_frame_edge(resid):
+def test_compact_stuffed_trailing_marker_frame_edge(resid, kb):
     """Trailing RST marker on the LAST segment (the sharded row-shard path
     gives non-final shards one) with seg_end landing at the 4 KB frame
     edge. Regression: the final drain excluded the trailing marker, so at
@@ -343,7 +347,7 @@ def test_compact_stuffed_trailing_marker_frame_edge(resid):
 
     stream, _, total = ep.compact_segments_stuffed(
         jnp.asarray(words), jnp.asarray(seg_bits), frames, 4,
-        mnum=jnp.asarray(mnum))
+        mnum=jnp.asarray(mnum), k_chunks=kb)
     raw = np.asarray(stream).view(np.uint8)[:int(total)]
     assert int(total) == len(expected)
     assert raw.tobytes() == expected
@@ -429,6 +433,31 @@ def test_pixel_kernel_dma_bit_exact_vs_twin(shape, quality):
                                                   quality, "420"))
     b = np.asarray(fused_dctq.encode_blocks_pallas_dma_pairs(
         jnp.asarray(img), quality, "420"))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("sub,shape", [
+    ("420", (64, 128, 3)),    # nrx=8: one full lane group
+    ("420", (33, 250, 3)),    # odd dims, mirror pad, nrx=16
+    ("420", (2, 48, 128, 3)),  # batch
+    ("420", (16, 96, 3)),     # nrx=6 % 8 != 0: XLA fallback
+    ("422", (32, 128, 3)),    # grp=8 (48 B rows)
+    ("444", (17, 250, 3)),    # grp=16 (24 B rows), nrx=32
+])
+@pytest.mark.parametrize("quality", [35, 90])
+def test_pixel_kernel_nat_bit_exact_vs_twin(sub, shape, quality):
+    """The natural-layout pixel kernel (production since round 3: row-slab
+    input, in-kernel lanes->sublanes MCU transpose) must be BIT-identical
+    to the XLA twin in the pairs layout across every MCU geometry it
+    covers, and fall back cleanly when nrx has no whole lane group;
+    scripts/tpu_ab_pixel_nat.py extends this to the full program on
+    hardware."""
+    rng = np.random.default_rng(quality + sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    a = np.asarray(fused_dctq.encode_blocks_pairs(jnp.asarray(img),
+                                                  quality, sub))
+    b = np.asarray(fused_dctq.encode_blocks_pallas_nat_pairs(
+        jnp.asarray(img), quality, sub))
     np.testing.assert_array_equal(a, b)
 
 
@@ -789,10 +818,11 @@ def test_block_pack_mcu_static_class_bit_identical(g, n_luma):
     np.testing.assert_array_equal(np.asarray(a_l), np.asarray(b_l))
 
 
-def test_compact_stuffed_all_ff_rows():
+@pytest.mark.parametrize("kb", [1, 2, 3])
+def test_compact_stuffed_all_ff_rows(kb):
     """A fully-0xFF segment doubles under stuffing, pushing rows past
-    output word 254 — the only content class that needs the compact
-    kernel's third output plane (taken conditionally since round 3)."""
+    output word 254 — maximal expansion, the worst case for the batched
+    kernel's per-iteration flush span."""
     n_seg, frames = 2, 2
     by = np.full((n_seg, frames * 4096), 0xFF, np.uint8)
     rng = np.random.default_rng(11)
@@ -804,7 +834,7 @@ def test_compact_stuffed_all_ff_rows():
              (b4[..., 2] << 8) | b4[..., 3])
     expected = _stuff_oracle([by[s, :nbytes[s]] for s in range(n_seg)], 4)
     stream, _, total = ep.compact_segments_stuffed(
-        jnp.asarray(words), jnp.asarray(seg_bits), frames, 4)
+        jnp.asarray(words), jnp.asarray(seg_bits), frames, 4, k_chunks=kb)
     raw = np.asarray(stream).view(np.uint8)[:int(total)]
     assert int(total) == len(expected)
     assert raw.tobytes() == expected
@@ -816,7 +846,9 @@ def test_compact_stuffed_fuzz(seed):
     counts/lengths (biased toward 4 KB frame edges), random FF density
     (incl. stretches dense enough to take the conditional third plane),
     and random trailing-marker patterns (the sharded mnum override) —
-    byte-equal to the host oracle."""
+    byte-equal to the host oracle. Rotates kb over seeds so all three
+    chunk-batching variants get fuzzed at constant suite cost."""
+    kb = [1, 2, 3][seed % 3]
     rng = np.random.default_rng(1000 + seed)
     n_seg = int(rng.integers(1, 5))
     frames = int(rng.integers(1, 4))
@@ -854,7 +886,7 @@ def test_compact_stuffed_fuzz(seed):
 
     stream, _, total = ep.compact_segments_stuffed(
         jnp.asarray(words), jnp.asarray(seg_bits), frames, 4,
-        mnum=jnp.asarray(mnum))
+        mnum=jnp.asarray(mnum), k_chunks=kb)
     raw = np.asarray(stream).view(np.uint8)[:int(total)]
     assert int(total) == len(expected), (seed, n_seg, frames,
                                          nbytes.tolist(), mnum.tolist())

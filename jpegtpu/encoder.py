@@ -70,6 +70,13 @@ def _pixel_path(img, quality: str, subsampling: str, use_fused: bool):
 # Env override: JPEGTPU_PIXEL_PATH.
 _PIXEL_PATH_IMPL = os.environ.get("JPEGTPU_PIXEL_PATH", "nat")
 
+# Mega-fused pixel+block-pack front-end (kernels/fused_pipeline): the
+# coefficient tensor never reaches HBM and the DC-diff chain is computed
+# in-kernel. OFF until hardware-validated per the kernel protocol
+# (interpret parity -> standalone -> full-program bytes vs oracle).
+# Env override: JPEGTPU_FUSE_BP=1.
+_FUSE_BP = os.environ.get("JPEGTPU_FUSE_BP", "0") != "0"
+
 
 def _pixel_path_pairs(img, quality: str, subsampling: str, use_fused: bool):
     """Pixel path for the Pallas production programs, in the pairs/native
@@ -138,6 +145,26 @@ _MCU_MAJOR_ENABLED = False
 _VSEG = 8
 
 
+def _fused_bp_or_none(img, quality, subsampling, restart, bits_budget,
+                      use_fused):
+    """Mega-fused pixel+block-pack front-end (kernels/fused_pipeline):
+    (mwords, mlens, n_mcu, b) or None when the geometry/mode is not
+    covered (caller falls back to the split pipeline)."""
+    if not (use_fused and _FUSE_BP and
+            subsampling in ("420", "422", "444")):
+        return None
+    from jpegtpu.kernels import entropy_pack, fused_pipeline
+    n_luma = _n_luma(subsampling)
+    b = n_luma + 2
+    mcu_chunks, _ = entropy_pack.mcu_capacity(b, bits_budget)
+    out = fused_pipeline.fused_pixel_block_pack_pairs(
+        img, quality, subsampling, restart, mcu_chunks, n_luma)
+    if out is None:
+        return None
+    mwords, mlens = out
+    return mwords, mlens, mlens.shape[0], b
+
+
 def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
                           mcus_per_seg, bits_budget, use_fused,
                           device_stuff=False):
@@ -147,17 +174,31 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
     markers and a total-byte count is appended to the return."""
     from jpegtpu.kernels import entropy_pack
     n_luma = _n_luma(subsampling)
-    coeffs = _pixel_path_pairs(img, quality, subsampling, use_fused)
-    n_mcu, bx64 = coeffs.shape
-    b = bx64 // 64
-    dcd = scan.dc_diffs_from_dc(coeffs[:, ::64], n_luma,
-                                restart).reshape(-1)
-    cls = (jnp.arange(n_mcu * b, dtype=jnp.int32) % b >= n_luma)
+    fused_bp = _fused_bp_or_none(img, quality, subsampling, restart,
+                                 bits_budget, use_fused)
+    if fused_bp is not None:
+        _fused_mw, _fused_ml, n_mcu, b = fused_bp
+    else:
+        coeffs = _pixel_path_pairs(img, quality, subsampling, use_fused)
+        n_mcu, bx64 = coeffs.shape
+        b = bx64 // 64
+        dcd = scan.dc_diffs_from_dc(coeffs[:, ::64], n_luma,
+                                    restart).reshape(-1)
+        cls = (jnp.arange(n_mcu * b, dtype=jnp.int32) % b >= n_luma)
     bps = mcus_per_seg * b
     w_cap = -(-bps * bits_budget // 32)
     mcu_chunks, _ = entropy_pack.mcu_capacity(b, bits_budget)
     pad_mcu = n_seg * mcus_per_seg - n_mcu
-    if _mcu_major_ok(pad_mcu, mcus_per_seg, mcu_chunks):
+
+    def _mwords_mlens():
+        if fused_bp is not None:
+            return _fused_mw, _fused_ml
+        return entropy_pack.block_pack_mcu_pairs(
+            coeffs, cls.astype(jnp.int32), dcd, b, mcu_chunks,
+            n_luma=n_luma)
+
+    if fused_bp is None and _mcu_major_ok(pad_mcu, mcus_per_seg,
+                                          mcu_chunks):
         # MCU-major handoff: block_pack emits seg_merge's native block
         # order, skipping the 50 MB transpose (scripts/tpu_trace_ab.py)
         mwords, mlens = entropy_pack.block_pack_mcu_pairs(
@@ -171,9 +212,7 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
         # virtual segments in parallel — DC prediction is untouched
         # (dcd was computed restartless above) — then bit-join them
         # (the splits are bit-unaligned, entropy_pack.bit_join).
-        mwords, mlens = entropy_pack.block_pack_mcu_pairs(
-            coeffs, cls.astype(jnp.int32), dcd, b, mcu_chunks,
-            n_luma=n_luma)
+        mwords, mlens = _mwords_mlens()
         mps_v = -(-n_mcu // _VSEG)
         pad_v = _VSEG * mps_v - n_mcu
         if pad_v:
@@ -195,9 +234,7 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
         seg_words = joined.reshape(1, fj * 1024)
         seg_bits = total_bits.reshape(1)
     else:
-        mwords, mlens = entropy_pack.block_pack_mcu_pairs(
-            coeffs, cls.astype(jnp.int32), dcd, b, mcu_chunks,
-            n_luma=n_luma)
+        mwords, mlens = _mwords_mlens()
         if pad_mcu:  # ragged last segment: append silent (0-length) MCUs
             mwords = jnp.concatenate(
                 [mwords,
@@ -231,17 +268,23 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
     """
     from jpegtpu.kernels import entropy_pack
     n_luma = _n_luma(subsampling)
-    coeffs = _pixel_path_pairs(imgs, quality, subsampling, use_fused)
-    bsz, n_mcu, bx64 = coeffs.shape
-    b = bx64 // 64
-    flat = coeffs.reshape(bsz * n_mcu, bx64)
-    dcd = scan.dc_diffs_from_dc(flat[:, ::64], n_luma,
-                                restart).reshape(-1)
-    cls = (jnp.arange(bsz * n_mcu * b, dtype=jnp.int32) % b >= n_luma)
+    fused_bp = _fused_bp_or_none(imgs, quality, subsampling, restart,
+                                 bits_budget, use_fused)
+    if fused_bp is not None:
+        mwords, mlens, _nm_tot, b = fused_bp
+        bsz = imgs.shape[0]
+    else:
+        coeffs = _pixel_path_pairs(imgs, quality, subsampling, use_fused)
+        bsz, n_mcu, bx64 = coeffs.shape
+        b = bx64 // 64
+        flat = coeffs.reshape(bsz * n_mcu, bx64)
+        dcd = scan.dc_diffs_from_dc(flat[:, ::64], n_luma,
+                                    restart).reshape(-1)
+        cls = (jnp.arange(bsz * n_mcu * b, dtype=jnp.int32) % b >= n_luma)
     bps = mcus_per_seg * b
     w_cap = -(-bps * bits_budget // 32)
     mcu_chunks, _ = entropy_pack.mcu_capacity(b, bits_budget)
-    if _mcu_major_ok(0, mcus_per_seg, mcu_chunks):
+    if fused_bp is None and _mcu_major_ok(0, mcus_per_seg, mcu_chunks):
         mwords, mlens = entropy_pack.block_pack_mcu_pairs(
             flat, cls.astype(jnp.int32), dcd, b, mcu_chunks,
             mcu_major_segs=bsz * n_seg, n_luma=n_luma)
@@ -249,9 +292,10 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
             mwords, mlens, bsz * n_seg, mcus_per_seg, w_cap,
             mcu_major=True)
     else:
-        mwords, mlens = entropy_pack.block_pack_mcu_pairs(
-            flat, cls.astype(jnp.int32), dcd, b, mcu_chunks,
-            n_luma=n_luma)
+        if fused_bp is None:
+            mwords, mlens = entropy_pack.block_pack_mcu_pairs(
+                flat, cls.astype(jnp.int32), dcd, b, mcu_chunks,
+                n_luma=n_luma)
         seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
             mwords, mlens, bsz * n_seg, mcus_per_seg, w_cap)
     frames_per_seg = seg_words.shape[1] // 1024

@@ -425,6 +425,17 @@ def _block_pack_mcu_kernel(coeffs_ref, cls_ref, dcd_ref, ac_tbl_ref,
         pair_words.append(w_p)
         pair_tot.append(tot_p)
 
+    merged, off = _merge_pairs(pair_words, pair_tot, g, chunks)
+    # ref shapes differ by a unit middle dim in mcu-major mode
+    mwords_ref[...] = merged.reshape(mwords_ref.shape)
+    mlens_ref[...] = off.reshape(mlens_ref.shape)
+
+
+def _merge_pairs(pair_words, pair_tot, g: int, chunks: int):
+    """Register MCU merge: per-pair packed streams ([T,128] u32, block A
+    in lanes [0,64), B in [64,128)) + per-pair totals [T,2] -> (merged
+    MCU streams [T, chunks*128] u32, total bits [T,1] i32). Shared by
+    _block_pack_mcu_kernel and the fused pixel+block-pack kernel."""
     t = pair_words[0].shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (t, 128), 1)
     out_chunks = [jnp.zeros((t, 128), jnp.uint32) for _ in range(chunks)]
@@ -470,10 +481,7 @@ def _block_pack_mcu_kernel(coeffs_ref, cls_ref, dcd_ref, ac_tbl_ref,
                                           axis=1)
                 out_chunks[ci] = out_chunks[ci] | jnp.where(valid, gat, 0)
         off = off + pair_tot[p][:, hh:hh + 1]
-    # ref shapes differ by a unit middle dim in mcu-major mode
-    mwords_ref[...] = jnp.concatenate(
-        out_chunks, axis=1).reshape(mwords_ref.shape)
-    mlens_ref[...] = off.reshape(mlens_ref.shape)
+    return jnp.concatenate(out_chunks, axis=1), off
 
 
 def block_pack_mcu(coeffs: jax.Array, cls: jax.Array, dcdiff: jax.Array,
@@ -676,13 +684,17 @@ def _seg_merge_v3_kernel(mwords_ref, off_ref, len_ref, map_ref, out_ref,
                                       lo[c], 0)
             win[w] = acc
 
-        # flush completed frames (rare; bitmap precomputed in XLA)
-        mp = map_ref[0, j, 0, 0]
+        # flush completed frames (rare; bitmap precomputed in XLA; two
+        # 32-bit words so s_rows=64 fits)
+        mp0 = map_ref[0, j, 0, 0]
+        mp1 = map_ref[0, j, 0, 1]
 
-        @pl.when(mp != 0)
+        @pl.when((mp0 | mp1) != 0)
         def _():
             for srow in range(s_rows):
-                @pl.when(((mp >> srow) & 1) != 0)
+                mp_w = mp1 if srow >= 32 else mp0
+
+                @pl.when(((mp_w >> (srow & 31)) & 1) != 0)
                 def _(srow=srow):
                     o_s = off_ref[0, j, srow, 0]
                     f = o_s >> 15                        # frame completed
@@ -826,16 +838,18 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
     seg_bits = csum[:, -1]
 
     # s_rows segments advance together as sublane rows (>= 8: Mosaic's
-    # native lane gather fails to lower for <8-sublane operands; <= 32:
-    # the crossing bitmap packs into an i32). Small/single segment
-    # counts pad up (padded rows are zero-length no-ops). More rows =
-    # fewer serial append iterations at constant vector work: the TPU
-    # sweep (scripts/tpu_probe_srows.py, bit-identical) measured 1.31 /
-    # 0.96 / 0.80 ms for 8/16/32 on the 4K rows-restart geometry, so
-    # auto-pick the widest that padding does not waste.
+    # native lane gather fails to lower for <8-sublane operands; the
+    # crossing bitmap rides in two i32 words so 64 fits). Small/single
+    # segment counts pad up (padded rows are zero-length no-ops). More
+    # rows = fewer serial append iterations at constant vector work: the
+    # TPU sweep (scripts/tpu_probe_srows.py, bit-identical) measured
+    # 1.30 / 1.01 / 0.83 / 1.01 ms for 8/16/32/64 on the 4K rows-restart
+    # geometry — the curve bottoms at 32 (at 64 the n_seg=135 -> 192
+    # padding waste plus doubled per-iteration vector work beats the
+    # halved iteration count; tested negative result, still selectable).
     if s_rows is None:
         s_rows = 32 if n_seg >= 32 else (16 if n_seg >= 16 else 8)
-    assert s_rows in (8, 16, 32)
+    assert s_rows in (8, 16, 32, 64)
     n_groups = -(-n_seg // s_rows)
     n_seg_p = n_groups * s_rows
 
@@ -878,8 +892,14 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
     fstart = off_p >> 15
     crossed = ((off_p + len_p) >> 15) > fstart
     cr = crossed.reshape(n_groups, s_rows, mps_p).astype(jnp.int32)
-    fmap = jnp.sum(cr << jnp.arange(s_rows, dtype=jnp.int32)[None, :, None],
-                   axis=1)                               # [G, mps_p]
+    # Two 32-bit bitmap words per (group, MCU) so s_rows=64 fits; word 1
+    # is all-zero below 33 rows.
+    ridx = jnp.arange(s_rows, dtype=jnp.int32)[None, :, None]
+    fmap0 = jnp.sum(jnp.where(ridx < 32, cr, 0) << (ridx & 31),
+                    axis=1)                              # [G, mps_p]
+    fmap1 = jnp.sum(jnp.where(ridx >= 32, cr, 0) << (ridx & 31),
+                    axis=1)
+    fmap = jnp.stack([fmap0, fmap1], axis=-1)            # [G, mps_p, 2]
 
     def _to_kernel(x, last):
         """[n_seg_p, mps_p, last] -> [G, mps_p, S, last]."""
@@ -887,7 +907,7 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
 
     off_k = _to_kernel(off_p[..., None], 1)
     len_k = _to_kernel(len_p[..., None], 1)
-    map_k = fmap.reshape(n_groups, mps_p, 1, 1)
+    map_k = fmap.reshape(n_groups, mps_p, 1, 2)
     if mcu_major:
         # [mps_p, n_seg_p*CW] -> [mps_p, G, S, CW] is a free lane-split
         # reshape; the BlockSpec addresses (mi, gi) blocks directly.
@@ -914,7 +934,7 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mb, s_rows, 1), lambda gi, mi: (gi, mi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mb, 1, 1), lambda gi, mi: (gi, mi, 0, 0),
+            pl.BlockSpec((1, mb, 1, 2), lambda gi, mi: (gi, mi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),

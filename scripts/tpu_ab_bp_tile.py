@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Re-sweep block_pack's _TILE (grid rows per step) in-context on the
+full 4K program — the 512-vs-256 sweep predates the static-class AC-LUT
+and the nat pixel kernel, which changed register pressure. Valid scan
+bytes asserted equal between variants first."""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from tpu_stages_common import log  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"backend {jax.default_backend()}")
+
+    from jpegtpu import encoder as enc_mod
+    from jpegtpu.config import EncoderConfig
+    import jpegtpu.kernels.entropy_pack as ep
+
+    h, w = 2160, 3840
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (128 + 60 * np.sin(xx / 97.0) * np.cos(yy / 53.0))
+    img = np.clip(base[..., None] + rng.normal(0, 12, (h, w, 3)),
+                  0, 255).astype(np.uint8)
+    imgd = jax.device_put(jnp.asarray(img))
+    cfg = EncoderConfig(quality=90, subsampling="420",
+                        restart_interval="rows")
+    probe = jax.jit(lambda o: jnp.sum(o[1]) +
+                    jnp.sum(o[0][::4099].astype(jnp.int32)))
+
+    tiles = (256, 384, 512, 768)
+    fns = {}
+    ref = None
+    for t in tiles:
+        ep._TILE = t
+        enc_mod._jitted_encode.cache_clear()
+        try:
+            fn, _, _ = enc_mod._jitted_encode((h, w), cfg)
+            out = fn(imgd)
+            float(probe(out))
+        except Exception as e:
+            log(f"tile={t} FAILED: {type(e).__name__}: {str(e)[:120]}")
+            continue
+        total = int(np.asarray(out[3]))
+        scan = np.asarray(out[0]).view(np.uint8)[:total]
+        if ref is None:
+            ref = (total, scan)
+        else:
+            assert total == ref[0] and np.array_equal(scan, ref[1]), \
+                f"tile={t} IN-CONTEXT MISMATCH — do not ship"
+        fns[t] = fn
+        log(f"tile={t} warm, scan identical ({total} B)")
+    ep._TILE = 512
+    enc_mod._jitted_encode.cache_clear()
+
+    def chain(fn, k):
+        t0 = time.perf_counter()
+        os_ = [fn(imgd) for _ in range(k)]
+        float(probe(os_[-1]))
+        return time.perf_counter() - t0
+
+    for rep in range(3):
+        for t, fn in fns.items():
+            d1 = min(chain(fn, 1) for _ in range(3))
+            d21 = min(chain(fn, 21) for _ in range(3))
+            dt = (d21 - d1) / 20
+            log(f"tile={t} rep{rep}: {dt * 1e3:.2f} ms/frame "
+                f"({h * w / dt / 1e6:.0f} MPix/s)")
+    log("DONE")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

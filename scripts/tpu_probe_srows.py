@@ -46,7 +46,7 @@ def main():
     w_cap = -(-restart * b * 384 // 32)
 
     ref_sw = ref_sb = None
-    for s_rows in (8, 16, 32):
+    for s_rows in (8, 16, 32, 64):
         f = jax.jit(lambda a, bb, s=s_rows: ep.seg_merge_mcu(
             a, bb, n_seg, restart, w_cap, s_rows=s))
         try:

@@ -216,6 +216,34 @@ def test_seg_merge_mcu_small_geometries(n_seg, restart):
                                       err_msg=f"segment {s}")
 
 
+def test_seg_merge_mcu_s_rows_64():
+    """s_rows=64 (two-word crossing bitmap) must be bit-identical to the
+    production s_rows=32 selection, including a padded group (70
+    segments -> 128 padded rows). HW verdict (scripts/tpu_probe_srows):
+    bit-identical but SLOWER than 32 at 4K n_seg=135 — tested negative
+    result, kept selectable."""
+    rng = np.random.default_rng(64)
+    n_seg, mps, g = 70, 12, 6
+    chunks, _ = ep.mcu_capacity(g, 384)
+    nm = n_seg * mps
+    mlens = rng.integers(20, 900, nm).astype(np.int32)
+    mwords = np.zeros((nm, chunks * 128), np.uint32)
+    for i in range(nm):
+        nw = -(-int(mlens[i]) // 32)
+        w = rng.integers(0, 1 << 32, nw, dtype=np.uint64).astype(np.uint32)
+        tail = int(mlens[i]) & 31
+        if tail:
+            w[-1] &= np.uint32(0xFFFFFFFF) << (32 - tail)
+        mwords[i, :nw] = w
+    w_cap = -(-mps * g * 384 // 32)
+    o64, b64, _ = ep.seg_merge_mcu(jnp.asarray(mwords), jnp.asarray(mlens),
+                                   n_seg, mps, w_cap, s_rows=64)
+    o32, b32, _ = ep.seg_merge_mcu(jnp.asarray(mwords), jnp.asarray(mlens),
+                                   n_seg, mps, w_cap, s_rows=32)
+    np.testing.assert_array_equal(np.asarray(b64), np.asarray(b32))
+    np.testing.assert_array_equal(np.asarray(o64), np.asarray(o32))
+
+
 def test_mcu_merge_against_block_oracle():
     """Pre-merged MCU stream == sequentially packed concatenation."""
     rng = np.random.default_rng(3)
@@ -459,6 +487,75 @@ def test_pixel_kernel_nat_bit_exact_vs_twin(sub, shape, quality):
     b = np.asarray(fused_dctq.encode_blocks_pallas_nat_pairs(
         jnp.asarray(img), quality, sub))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("sub,n_luma,shape,restart", [
+    ("420", 4, (64, 128, 3), 8),      # rows restart
+    ("420", 4, (64, 128, 3), 0),      # restartless (virtual-split dcd)
+    ("420", 4, (33, 250, 3), 3),      # general N + mirror pad
+    ("422", 2, (32, 128, 3), 8),
+    ("444", 1, (17, 250, 3), 5),      # odd g: dummy block pair
+    ("420", 4, (2, 48, 128, 3), 8),   # batch (resets cross images)
+])
+def test_fused_pipeline_matches_split(sub, n_luma, shape, restart):
+    """The mega-fused pixel+block-pack kernel (fused_pipeline) must be
+    bit-identical to the split pipeline running on the SAME Pallas
+    pixel-kernel coefficients — including the in-kernel DC-difference
+    chain (sublane rolls + cross-row carry + restart resets) against
+    scan.dc_diffs_from_dc. The comparison pins both sides to the nat
+    kernel's matmul because the XLA twin can differ by one rounding ulp
+    on knife-edge values (see fused_pipeline docstring);
+    scripts/tpu_ab_fused_bp.py extends this to hardware."""
+    from jpegtpu.entropy import scan as escan
+    from jpegtpu.kernels import fused_pipeline
+
+    rng = np.random.default_rng(sum(shape) + restart)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    b = n_luma + 2
+    chunks, _ = ep.mcu_capacity(b, 384)
+    out = fused_pipeline.fused_pixel_block_pack_pairs(
+        jnp.asarray(img), 90, sub, restart, chunks, n_luma)
+    assert out is not None
+    mw, ml = out
+    c = fused_dctq.encode_blocks_pallas_nat_pairs(jnp.asarray(img), 90,
+                                                  sub)
+    flat = c.reshape(-1, c.shape[-1])
+    nm = flat.shape[0]
+    dcd = escan.dc_diffs_from_dc(flat[:, ::64], n_luma,
+                                 restart).reshape(-1)
+    cls = (jnp.arange(nm * b, dtype=jnp.int32) % b >= n_luma)
+    mw2, ml2 = ep.block_pack_mcu_pairs(flat, cls.astype(jnp.int32), dcd,
+                                       b, chunks, n_luma=n_luma)
+    np.testing.assert_array_equal(np.asarray(mw), np.asarray(mw2))
+    np.testing.assert_array_equal(np.asarray(ml), np.asarray(ml2))
+
+
+def test_encoder_fused_bp_end_to_end(monkeypatch):
+    """JPEGTPU_FUSE_BP routes the Pallas tier through the mega-fused
+    front-end; the complete encode must stay byte-identical to the XLA
+    oracle encoder (the production-flip precondition)."""
+    import jpegtpu.encoder as enc_mod
+    import jpegtpu.kernels.entropy_pack as epk
+    from jpegtpu.config import EncoderConfig
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    for restart in ("rows", 0, 2):
+        cfg = EncoderConfig(quality=85, subsampling="420",
+                            restart_interval=restart)
+        xla_bytes = enc_mod.Encoder(cfg).encode(img)
+
+        monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(epk, "_interpret", lambda: True)
+        monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
+        monkeypatch.setattr(enc_mod, "_FUSE_BP", True)
+        enc_mod._jitted_encode.cache_clear()
+        try:
+            pallas_bytes = enc_mod.Encoder(cfg).encode(img)
+        finally:
+            monkeypatch.undo()
+            enc_mod._jitted_encode.cache_clear()
+        assert pallas_bytes == xla_bytes, restart
 
 
 def test_pixel_kernel_non420_falls_back():

@@ -40,15 +40,19 @@ def summarize(trace_dir, label, n_frames):
         if "TPU" not in pname and "/device" not in pname.lower():
             continue
         name = ev.get("name", "?")
+        args = ev.get("args") or {}
+        ln = args.get("long_name") or args.get("tf_op") or ""
+        if ln:
+            name = f"{name} [{ln}]"
         dur[name] += ev.get("dur", 0)
         cnt[name] += 1
     rows = sorted(dur.items(), key=lambda kv: -kv[1])
     tot = sum(dur.values())
     log(f"--- {label}: {tot / 1e3 / n_frames:.2f} ms/frame device total "
         f"({len(rows)} distinct ops) ---")
-    for name, d in rows[:20]:
+    for name, d in rows[:22]:
         log(f"  {d / 1e3 / n_frames:7.3f} ms  x{cnt[name] // n_frames:<3d}"
-            f" {name[:90]}")
+            f" {name[:160]}")
 
 
 def main():

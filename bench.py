@@ -121,13 +121,21 @@ def run_bench() -> int:
     img = np.clip(base[..., None] +
                   rng.normal(0, 12, (h, w, 3)), 0, 255).astype(np.uint8)
 
+    import dataclasses
+
     cfg = EncoderConfig(quality=90, subsampling="420",
                         restart_interval="rows")
 
     # Correctness gate: the full encode must produce a JPEG an independent
-    # decoder accepts, at sane fidelity — a corrupted scan body cannot post
-    # a headline number.
-    def gated_encode():
+    # decoder accepts, at fidelity no worse than PIL's own encoder at the
+    # same settings minus a 0.5 dB margin (computed dynamically per content,
+    # same floor as `cli verify` — a hardcoded threshold let a ~1.3 dB
+    # quality regression pass, VERDICT r3 weak #4). A corrupted scan body
+    # cannot post a headline number.
+    from jpegtpu.cli import VERIFY_PSNR_MARGIN_DB, _pil_reference_psnr
+    psnr_floor = _pil_reference_psnr(img, 90, "420") - VERIFY_PSNR_MARGIN_DB
+
+    def gated_encode(cfg):
         enc = Encoder(cfg)
         jpg = enc.encode(img)
         assert jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
@@ -138,20 +146,20 @@ def run_bench() -> int:
                          dtype=np.float64)
         mse = float(np.mean((dec - img.astype(np.float64)) ** 2))
         psnr = 99.0 if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
-        # PIL's own encoder yields 27.3 dB on this content at q90 4:2:0
-        # (the sigma-12 noise bounds it); gate just below encoder parity.
-        assert psnr > 26.0, f"decoded PSNR {psnr:.2f} dB — corrupt output?"
+        assert psnr > psnr_floor, (
+            f"decoded PSNR {psnr:.2f} dB below the {psnr_floor:.2f} dB "
+            f"PIL-parity gate — corrupt output?")
         return jpg, psnr
 
-    from jpegtpu import encoder as enc_mod
-    from jpegtpu.kernels import entropy_pack as ep
-    baseline_flags = (ep._COMPACT_KB == 1 and not ep._COMPACT_SKIP_P2 and
-                      not ep._BP_MERGE_ROT and
-                      enc_mod._PIXEL_PATH_IMPL == "xla")
+    # Round-2-validated baseline kernel selection, as a plain config value
+    # (no module-global mutation; the selectors are jit-cache-keyed
+    # EncoderConfig fields since round 4).
+    baseline_cfg = dataclasses.replace(cfg, pixel_path="xla", compact_kb=1,
+                                       bp_merge_rot=False, fuse_bp=False)
     try:
-        jpg, psnr = gated_encode()
+        jpg, psnr = gated_encode(cfg)
     except Exception as e:
-        if baseline_flags:
+        if cfg == baseline_cfg:
             raise
         # The batched compact kernel / natural-layout pixel kernel are
         # the newest Mosaic constructs in the program; if compilation or
@@ -159,14 +167,10 @@ def run_bench() -> int:
         # baseline kernels rather than losing the round's official
         # artifact.
         print(f"[bench] production config failed ({type(e).__name__}: "
-              f"{e}); retrying with round-2 baseline kernel flags",
+              f"{e}); retrying with round-2 baseline kernel config",
               file=sys.stderr, flush=True)
-        ep._COMPACT_KB = 1
-        ep._COMPACT_SKIP_P2 = False
-        ep._BP_MERGE_ROT = False
-        enc_mod._PIXEL_PATH_IMPL = "xla"
-        _jitted_encode.cache_clear()
-        jpg, psnr = gated_encode()
+        cfg = baseline_cfg
+        jpg, psnr = gated_encode(cfg)
 
     # Device-pipeline throughput, amortized: frames are queued back-to-back
     # (steady-state pipelining) and one dependent scalar fetch at the end
@@ -199,10 +203,11 @@ def run_bench() -> int:
         "unit": "MPix/s/chip",
         "vs_baseline": round(mpix_s / target, 3),
         "psnr_db": round(psnr, 2),
+        "psnr_floor_db": round(psnr_floor, 2),
         "bytes": len(jpg),
-        "compact_kb": int(ep._COMPACT_KB),
-        "bp_merge_rot": bool(ep._BP_MERGE_ROT),
-        "pixel_path": enc_mod._PIXEL_PATH_IMPL,
+        "compact_kb": cfg.compact_kb,
+        "bp_merge_rot": cfg.bp_merge_rot,
+        "pixel_path": cfg.pixel_path,
     }))
     return 0
 

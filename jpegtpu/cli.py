@@ -184,11 +184,17 @@ def cmd_info(args) -> int:
     import jpegtpu
     from jpegtpu import native
 
+    from jpegtpu.config import EncoderConfig
+
     print(f"jpegtpu {jpegtpu.__version__}")
     print(f"jax {jax.__version__}, backend {jax.default_backend()}")
     for d in jax.devices():
         print(f"  device {d.id}: {d.device_kind} ({d.platform})")
     print(f"native helpers: {'loaded' if native.available() else 'absent'}")
+    cfg = EncoderConfig()  # default config = env-resolved kernel selectors
+    print(f"kernel paths: pixel_path={cfg.pixel_path} "
+          f"compact_kb={cfg.compact_kb} fuse_bp={cfg.fuse_bp} "
+          f"bp_merge_rot={cfg.bp_merge_rot}")
     return 0
 
 

@@ -10,6 +10,7 @@ mesh shape are all first-class runtime parameters.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 
 # Chroma subsampling modes.
@@ -24,6 +25,12 @@ import dataclasses
 #   "422"  — 2x1 subsampling: half-width chroma, 16x8 MCU with Y0,Y1,Cb,Cr.
 #   "gray" — single-component (luma-only) JPEG for [H, W] grayscale input.
 SUBSAMPLING_MODES = ("444", "444s", "420", "422", "gray")
+
+# Default per-block bit budget for device buffers (~4x typical q90 usage).
+# The encoder detects budget overflow on device and re-runs with the
+# worst-case bound, so this is a throughput/memory knob, not a correctness
+# one (encoder.py module docstring).
+DEFAULT_BITS_BUDGET = 384
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +55,38 @@ class EncoderConfig:
     # and the host only concatenates headers. False falls back to the
     # native C++ (or numpy) host stuffing path. TPU + device_bitpack only.
     device_stuff: bool = True
+    # --- Kernel-path selectors (hardware-A/B-validated variants). Each is
+    # a first-class config field so it participates in the jit cache key;
+    # the JPEGTPU_* env vars remain as default overrides only (read at
+    # config construction, never mutated by production code).
+    #
+    # Pixel-path implementation for the Pallas tier:
+    #   "nat" (production): natural-layout Pallas kernel — row-slab input,
+    #         in-kernel MCU transpose + MXU matmul (5.10 vs 5.72 ms/4K,
+    #         scripts/tpu_ab_pixel_nat.py).
+    #   "xla": XLA-tiled fallback/oracle formulation.
+    #   "dma": NEGATIVE RESULT — fails Mosaic on hardware (unaligned
+    #         input-DMA slices); interpret mode only.
+    pixel_path: str = dataclasses.field(
+        default_factory=lambda: os.environ.get("JPEGTPU_PIXEL_PATH", "nat"))
+    # Mega-fused pixel+block-pack front-end (kernels/fused_pipeline).
+    # TESTED NEGATIVE RESULT on HW (cost-neutral, docs/PERF.md); default off.
+    fuse_bp: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get("JPEGTPU_FUSE_BP", "0") != "0")
+    # Chunks per serial iteration in the device stuffing kernel (1 =
+    # round-2 single-chunk kernel; 3 = production latency-hiding batch,
+    # HW A/B scripts/tpu_ab_compact_kb.py; 4..6 tested negative).
+    compact_kb: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get("JPEGTPU_COMPACT_KB", "3")))
+    # Rotate-select MCU merge in block_pack. TESTED NEGATIVE (cost-neutral).
+    bp_merge_rot: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get(
+            "JPEGTPU_BP_MERGE_ROT", "0") != "0")
+    # First-pass per-block bit budget for device stream buffers
+    # (0 = DEFAULT_BITS_BUDGET). Undersized budgets are detected on device
+    # and escalated to the worst case by the host, on every path
+    # (single / batch / sharded) — see encoder._budget_overflow.
+    bits_budget: int = 0
 
     def __post_init__(self):
         if not (1 <= self.quality <= 100):
@@ -61,6 +100,21 @@ class EncoderConfig:
                 raise ValueError("restart_interval must be an int >= 0 or 'rows'")
         elif self.restart_interval < 0:
             raise ValueError("restart_interval must be >= 0")
+        if self.pixel_path not in ("nat", "xla", "dma"):
+            raise ValueError(
+                f"pixel_path must be 'nat', 'xla' or 'dma', "
+                f"got {self.pixel_path!r}")
+        if not (1 <= self.compact_kb <= 6):
+            raise ValueError(
+                f"compact_kb must be in 1..6, got {self.compact_kb}")
+        if self.bits_budget < 0:
+            raise ValueError(
+                f"bits_budget must be >= 0, got {self.bits_budget}")
+
+    @property
+    def first_pass_budget(self) -> int:
+        """The per-block bit budget the first device pass compiles with."""
+        return self.bits_budget or DEFAULT_BITS_BUDGET
 
     @property
     def mcu_shape(self) -> tuple:

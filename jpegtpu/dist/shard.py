@@ -68,7 +68,9 @@ def _shard_fn(imgs, *, quality, subsampling, restart, n_seg_local,
 
 
 def _shard_fn_pallas(imgs, *, quality, subsampling, restart, n_seg_local,
-                     mcus_per_seg, bits_budget, use_fused, n_seg_keep=0):
+                     mcus_per_seg, bits_budget, use_fused, n_seg_keep=0,
+                     pixel_path="nat", fuse_bp=False, compact_kb=None,
+                     bp_merge_rot=None, mcu_group=1):
     """Per-shard body on the Pallas entropy path: the shard's whole image
     batch folds into the block dimension (same trick as
     encoder._device_encode_pallas_batch — vmap would batch the ANY-space
@@ -97,7 +99,10 @@ def _shard_fn_pallas(imgs, *, quality, subsampling, restart, n_seg_local,
                 imgs, quality=quality, subsampling=subsampling,
                 restart=restart, n_seg=n_seg_local,
                 mcus_per_seg=mcus_per_seg, bits_budget=bits_budget,
-                use_fused=use_fused, device_stuff=True, marker_nums=mnum)
+                use_fused=use_fused, device_stuff=True, marker_nums=mnum,
+                pixel_path=pixel_path, fuse_bp=fuse_bp,
+                compact_kb=compact_kb, bp_merge_rot=bp_merge_rot,
+                mcu_group=mcu_group)
         max_mcu = jax.lax.pmax(max_mcu, mesh_lib.ROW_AXIS)
         return (stream.reshape(1, -1), seg_bits,
                 seg_start.reshape(1, -1), total.reshape(1, 1),
@@ -105,7 +110,9 @@ def _shard_fn_pallas(imgs, *, quality, subsampling, restart, n_seg_local,
     stream, seg_bits, max_mcu = _device_encode_pallas_batch(
         imgs, quality=quality, subsampling=subsampling, restart=restart,
         n_seg=n_seg_local, mcus_per_seg=mcus_per_seg,
-        bits_budget=bits_budget, use_fused=use_fused)
+        bits_budget=bits_budget, use_fused=use_fused,
+        pixel_path=pixel_path, fuse_bp=fuse_bp, compact_kb=compact_kb,
+        bp_merge_rot=bp_merge_rot, mcu_group=mcu_group)
     # stream: [L] u32 (all shard images' segments, in order);
     # seg_bits: [b_loc, n_seg_local]
     nbytes = (seg_bits + 7) >> 3
@@ -113,6 +120,17 @@ def _shard_fn_pallas(imgs, *, quality, subsampling, restart, n_seg_local,
     max_mcu = jax.lax.pmax(max_mcu, mesh_lib.ROW_AXIS)
     return (stream.reshape(1, -1), seg_bits, grand_total.reshape(1),
             max_mcu.reshape(1))
+
+
+def _sharded_mcu_group(cfg: EncoderConfig, restart: int,
+                       bits_budget: int) -> int:
+    """Grouping factor for the sharded Pallas path (the single-device
+    decision logic, encoder._entropy_mcu_group, restricted to the
+    rows/N-restart geometries this path accepts)."""
+    if cfg.fuse_bp or restart <= 0:
+        return 1
+    from jpegtpu.kernels import entropy_pack
+    return entropy_pack.mcu_group(cfg.blocks_per_mcu, bits_budget, restart)
 
 
 @functools.lru_cache(maxsize=16)
@@ -138,7 +156,10 @@ def _build_sharded_pallas(mesh_key, shape: Tuple[int, int, int],
         _shard_fn_pallas, quality=cfg.quality, subsampling=cfg.subsampling,
         restart=restart, n_seg_local=n_seg_local, mcus_per_seg=restart,
         bits_budget=bits_budget, use_fused=cfg.use_pallas,
-        n_seg_keep=n_seg_keep)
+        n_seg_keep=n_seg_keep, pixel_path=cfg.pixel_path,
+        fuse_bp=cfg.fuse_bp, compact_kb=cfg.compact_kb,
+        bp_merge_rot=cfg.bp_merge_rot,
+        mcu_group=_sharded_mcu_group(cfg, restart, bits_budget))
     if n_seg_keep:
         out_specs = (P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
                      P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS),
@@ -288,7 +309,8 @@ def _shard_fn_norestart(imgs, *, quality, subsampling, use_fused, n_row,
 
 
 def _shard_fn_norestart_pallas(imgs, *, quality, subsampling, use_fused,
-                               n_row, bits_budget):
+                               n_row, bits_budget, pixel_path="nat",
+                               bp_merge_rot=None):
     """No-restart sharded body on the Pallas entropy path: the same ICI
     DC-predictor exchange as _shard_fn_norestart, then the fast kernels
     per shard image — block_pack + 8-way VIRTUAL segment merge + device
@@ -300,7 +322,7 @@ def _shard_fn_norestart_pallas(imgs, *, quality, subsampling, use_fused,
     from jpegtpu.kernels import entropy_pack
     n_luma = _n_luma(subsampling)
     coeffs = jax.vmap(lambda im: _pixel_path_pairs(
-        im, quality, subsampling, use_fused))(imgs)
+        im, quality, subsampling, use_fused, pixel_path))(imgs)
     b_loc, n_mcu, bx64 = coeffs.shape
     b = bx64 // 64
     dc_last = coeffs[:, -1, ::64]                  # [b_loc, b]
@@ -321,7 +343,8 @@ def _shard_fn_norestart_pallas(imgs, *, quality, subsampling, use_fused,
     # Mosaic kernels); virtual padding interleaves per image tail
     mw, ml = entropy_pack.block_pack_mcu_pairs(
         coeffs.reshape(b_loc * n_mcu, bx64), cls.astype(jnp.int32),
-        dcd.reshape(-1), b, chunks, n_luma=n_luma)
+        dcd.reshape(-1), b, chunks, n_luma=n_luma,
+        merge_rot=bp_merge_rot)
     if pad_v:
         mw = jnp.pad(mw.reshape(b_loc, n_mcu, -1),
                      ((0, 0), (0, pad_v), (0, 0)))
@@ -351,12 +374,17 @@ def _build_sharded_norestart(mesh_key, shape: Tuple[int, int, int],
             "no-restart sharded encode cannot pad rows (padding blocks "
             "would join the single segment); H must divide into whole-MCU "
             f"row shards (H={h}, shards={n_row}, MCU height={mh})")
-    body = (_shard_fn_norestart_pallas if _pallas_entropy_ok(cfg, 0)
-            else _shard_fn_norestart)
-    fn = functools.partial(
-        body, quality=cfg.quality,
-        subsampling=cfg.subsampling, use_fused=cfg.use_pallas, n_row=n_row,
-        bits_budget=MAX_BITS_PER_BLOCK)
+    if _pallas_entropy_ok(cfg, 0):
+        fn = functools.partial(
+            _shard_fn_norestart_pallas, quality=cfg.quality,
+            subsampling=cfg.subsampling, use_fused=cfg.use_pallas,
+            n_row=n_row, bits_budget=MAX_BITS_PER_BLOCK,
+            pixel_path=cfg.pixel_path, bp_merge_rot=cfg.bp_merge_rot)
+    else:
+        fn = functools.partial(
+            _shard_fn_norestart, quality=cfg.quality,
+            subsampling=cfg.subsampling, use_fused=cfg.use_pallas,
+            n_row=n_row, bits_budget=MAX_BITS_PER_BLOCK)
     sharded = jax.shard_map(
         fn, mesh=mesh,
         in_specs=P(mesh_lib.DATA_AXIS, mesh_lib.ROW_AXIS, None, None),
@@ -492,27 +520,31 @@ def encode_batch_sharded(imgs: np.ndarray, cfg: EncoderConfig, mesh):
                 return (fn, restart, n_seg_local) + outs
 
             _, restart, n_seg_local, stream, seg_bits, seg_start, totals, \
-                max_mcu = run(DEFAULT_BITS_BUDGET)
+                max_mcu = run(cfg.first_pass_budget)
             n_seg_shard = b_loc * n_seg_local
             frames = ((stream.shape[1] // n_row // 1024) - 1) \
                 // (2 * n_seg_shard)
             cap_bits = (frames - 1) * 1024 * 32
+            gm = _sharded_mcu_group(cfg, restart, cfg.first_pass_budget)
             if _budget_overflow(np.asarray(seg_bits),
                                 int(np.asarray(max_mcu).max(initial=0)),
-                                cap_bits, cfg.blocks_per_mcu):
+                                cap_bits, cfg.blocks_per_mcu * gm,
+                                cfg.first_pass_budget):
                 _, restart, n_seg_local, stream, seg_bits, seg_start, \
                     totals, max_mcu = run(MAX_BITS_PER_BLOCK)
             return _assemble_sharded_pallas_stuffed(
                 stream, seg_start, totals, b, n_data, n_row, h, w, cfg,
                 restart, n_seg_local, n_seg_keep)
         fn, restart, n_seg_local = _build_sharded_pallas(
-            key, (b, hp, wp), cfg, DEFAULT_BITS_BUDGET)
+            key, (b, hp, wp), cfg, cfg.first_pass_budget)
         stream, seg_bits, total, max_mcu = fn(_put_imgs(imgs, mesh))
         frames = stream.shape[1] // n_row // (b_loc * n_seg_local) // 1024
         cap_bits = (frames - 1) * 1024 * 32
+        gm = _sharded_mcu_group(cfg, restart, cfg.first_pass_budget)
         if _budget_overflow(np.asarray(seg_bits),
                             int(np.asarray(max_mcu).max(initial=0)),
-                            cap_bits, cfg.blocks_per_mcu):
+                            cap_bits, cfg.blocks_per_mcu * gm,
+                            cfg.first_pass_budget):
             fn, restart, n_seg_local = _build_sharded_pallas(
                 key, (b, hp, wp), cfg, MAX_BITS_PER_BLOCK)
             stream, seg_bits, total, max_mcu = fn(_put_imgs(imgs, mesh))

@@ -32,14 +32,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from jpegtpu import native
-from jpegtpu.config import EncoderConfig
+from jpegtpu.config import DEFAULT_BITS_BUDGET, EncoderConfig
 from jpegtpu.container import jfif
 from jpegtpu.core import ops
 from jpegtpu.entropy import assemble, scan
 from jpegtpu.entropy.assemble import MAX_BITS_PER_BLOCK
-
-# Default per-block bit budget for device buffers (~4x typical q90 usage).
-DEFAULT_BITS_BUDGET = 384
 
 
 class BatchGeometryError(ValueError):
@@ -54,31 +51,15 @@ def _pixel_path(img, quality: str, subsampling: str, use_fused: bool):
     return ops.encode_blocks(img, quality, subsampling)
 
 
-# Pixel-path selector for the fused tier:
-#   "nat" (production since round 3): natural-layout Pallas kernel —
-#         row-slab input (no XLA relayout materialization), in-kernel
-#         lanes->sublanes MCU transpose + MXU matmul. HW A/B 2026-08-19
-#         (scripts/tpu_ab_pixel_nat.py, full 4K program, interleaved):
-#         byte-identical, 5.10 vs 5.72 ms/frame — the ~1.29 ms XLA
-#         tiling chain (docs/PERF.md) drops to in-kernel relayout cost.
-#   "xla" fallback/oracle tier: XLA fuses the MCU tiling into neighbors.
-#   "dma" NEGATIVE RESULT 2026-08-19: FAILS Mosaic compilation on the
-#         real chip — explicit make_async_copy slices on an ANY-space
-#         memref require (8, 128)-aligned trailing dims, and no 4D view
-#         of a 4:2:0 image satisfies that (proof in fused_dctq.
-#         encode_blocks_pallas_dma_pairs). Interpret mode still runs it.
-# Env override: JPEGTPU_PIXEL_PATH.
-_PIXEL_PATH_IMPL = os.environ.get("JPEGTPU_PIXEL_PATH", "nat")
-
-# Mega-fused pixel+block-pack front-end (kernels/fused_pipeline): the
-# coefficient tensor never reaches HBM and the DC-diff chain is computed
-# in-kernel. OFF until hardware-validated per the kernel protocol
-# (interpret parity -> standalone -> full-program bytes vs oracle).
-# Env override: JPEGTPU_FUSE_BP=1.
-_FUSE_BP = os.environ.get("JPEGTPU_FUSE_BP", "0") != "0"
+# Kernel-path selectors (pixel_path / fuse_bp / compact_kb / bp_merge_rot)
+# are EncoderConfig fields since round 4 — jit-cache-keyed through the
+# config, visible in `cli info`, env vars honored as config DEFAULTS only
+# (JPEGTPU_PIXEL_PATH / JPEGTPU_FUSE_BP / JPEGTPU_COMPACT_KB /
+# JPEGTPU_BP_MERGE_ROT; see config.py for each variant's HW provenance).
 
 
-def _pixel_path_pairs(img, quality: str, subsampling: str, use_fused: bool):
+def _pixel_path_pairs(img, quality: str, subsampling: str, use_fused: bool,
+                      pixel_path: str = "nat"):
     """Pixel path for the Pallas production programs, in the pairs/native
     layout [..., nMCU, B*64] (block-major columns). On supported
     geometries this is the in-VMEM tiling Pallas kernel — bit-identical
@@ -87,10 +68,10 @@ def _pixel_path_pairs(img, quality: str, subsampling: str, use_fused: bool):
     feeds entropy_pack.block_pack_mcu_pairs with zero relayout."""
     from jpegtpu.kernels import fused_dctq
     if use_fused:
-        if _PIXEL_PATH_IMPL == "dma":
+        if pixel_path == "dma":
             return fused_dctq.encode_blocks_pallas_dma_pairs(
                 img, quality, subsampling)
-        if _PIXEL_PATH_IMPL == "nat":
+        if pixel_path == "nat":
             return fused_dctq.encode_blocks_pallas_nat_pairs(
                 img, quality, subsampling)
         return fused_dctq.encode_blocks_pairs(img, quality, subsampling)
@@ -146,11 +127,11 @@ _VSEG = 8
 
 
 def _fused_bp_or_none(img, quality, subsampling, restart, bits_budget,
-                      use_fused):
+                      use_fused, fuse_bp=False):
     """Mega-fused pixel+block-pack front-end (kernels/fused_pipeline):
     (mwords, mlens, n_mcu, b) or None when the geometry/mode is not
     covered (caller falls back to the split pipeline)."""
-    if not (use_fused and _FUSE_BP and
+    if not (use_fused and fuse_bp and
             subsampling in ("420", "422", "444")):
         return None
     from jpegtpu.kernels import entropy_pack, fused_pipeline
@@ -167,7 +148,9 @@ def _fused_bp_or_none(img, quality, subsampling, restart, bits_budget,
 
 def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
                           mcus_per_seg, bits_budget, use_fused,
-                          device_stuff=False):
+                          device_stuff=False, pixel_path="nat",
+                          fuse_bp=False, compact_kb=None,
+                          bp_merge_rot=None, mcu_group=1):
     """Pallas device program -> compacted stream + per-segment bit counts
     + the max per-MCU bit count (host escalation check, see mcu_capacity).
     With device_stuff, the stream is the COMPLETE stuffed scan with RST
@@ -175,11 +158,12 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
     from jpegtpu.kernels import entropy_pack
     n_luma = _n_luma(subsampling)
     fused_bp = _fused_bp_or_none(img, quality, subsampling, restart,
-                                 bits_budget, use_fused)
+                                 bits_budget, use_fused, fuse_bp)
     if fused_bp is not None:
         _fused_mw, _fused_ml, n_mcu, b = fused_bp
     else:
-        coeffs = _pixel_path_pairs(img, quality, subsampling, use_fused)
+        coeffs = _pixel_path_pairs(img, quality, subsampling, use_fused,
+                                   pixel_path)
         n_mcu, bx64 = coeffs.shape
         b = bx64 // 64
         dcd = scan.dc_diffs_from_dc(coeffs[:, ::64], n_luma,
@@ -195,15 +179,15 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
             return _fused_mw, _fused_ml
         return entropy_pack.block_pack_mcu_pairs(
             coeffs, cls.astype(jnp.int32), dcd, b, mcu_chunks,
-            n_luma=n_luma)
+            n_luma=n_luma, merge_rot=bp_merge_rot)
 
-    if fused_bp is None and _mcu_major_ok(pad_mcu, mcus_per_seg,
-                                          mcu_chunks):
+    if (fused_bp is None and mcu_group == 1 and
+            _mcu_major_ok(pad_mcu, mcus_per_seg, mcu_chunks)):
         # MCU-major handoff: block_pack emits seg_merge's native block
         # order, skipping the 50 MB transpose (scripts/tpu_trace_ab.py)
         mwords, mlens = entropy_pack.block_pack_mcu_pairs(
             coeffs, cls.astype(jnp.int32), dcd, b, mcu_chunks,
-            mcu_major_segs=n_seg, n_luma=n_luma)
+            mcu_major_segs=n_seg, n_luma=n_luma, merge_rot=bp_merge_rot)
         seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
             mwords, mlens, n_seg, mcus_per_seg, w_cap, mcu_major=True)
     elif restart == 0 and n_seg == 1 and n_mcu >= _VSEG:
@@ -233,6 +217,23 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
         joined, total_bits = entropy_pack.bit_join(sw_v, sb_v, fj * 1024)
         seg_words = joined.reshape(1, fj * 1024)
         seg_bits = total_bits.reshape(1)
+    elif fused_bp is None and mcu_group > 1:
+        # Grouped path (small-g modes): gm MCUs merge as ONE unit in
+        # block_pack — same bytes (the segment stream is the identical
+        # concatenation), 1/gm the seg_merge serial appends, and no
+        # half-dummy symbolize pairs for odd/small g. Preconditions
+        # (pad_mcu == 0, gm | mcus_per_seg) enforced by
+        # _entropy_mcu_group/entropy_pack.mcu_group.
+        assert pad_mcu == 0 and mcus_per_seg % mcu_group == 0
+        g_eff = b * mcu_group
+        gchunks, _ = entropy_pack.mcu_capacity(g_eff, bits_budget)
+        cg = coeffs.reshape(n_mcu // mcu_group,
+                            mcu_group * coeffs.shape[1])
+        mwords, mlens = entropy_pack.block_pack_mcu_pairs(
+            cg, cls.astype(jnp.int32), dcd, g_eff, gchunks,
+            n_luma=n_luma, merge_rot=bp_merge_rot, cls_period=b)
+        seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
+            mwords, mlens, n_seg, mcus_per_seg // mcu_group, w_cap)
     else:
         mwords, mlens = _mwords_mlens()
         if pad_mcu:  # ragged last segment: append silent (0-length) MCUs
@@ -248,7 +249,8 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
     frames_per_seg = seg_words.shape[1] // 1024
     if device_stuff:
         stream, _, total = entropy_pack.compact_segments_stuffed(
-            seg_words, seg_bits, frames_per_seg, restart)
+            seg_words, seg_bits, frames_per_seg, restart,
+            k_chunks=compact_kb)
         return stream, seg_bits, max_mcu_bits, total
     stream = entropy_pack.compact_segments(seg_words, seg_bits,
                                            frames_per_seg)
@@ -257,7 +259,10 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
 
 def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
                                 n_seg, mcus_per_seg, bits_budget, use_fused,
-                                device_stuff=False, marker_nums=None):
+                                device_stuff=False, marker_nums=None,
+                                pixel_path="nat", fuse_bp=False,
+                                compact_kb=None, bp_merge_rot=None,
+                                mcu_group=1):
     """Batched device program: [B, H, W, 3] -> one compacted stream + per-
     segment bit counts for the whole batch.
 
@@ -269,12 +274,13 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
     from jpegtpu.kernels import entropy_pack
     n_luma = _n_luma(subsampling)
     fused_bp = _fused_bp_or_none(imgs, quality, subsampling, restart,
-                                 bits_budget, use_fused)
+                                 bits_budget, use_fused, fuse_bp)
     if fused_bp is not None:
         mwords, mlens, _nm_tot, b = fused_bp
         bsz = imgs.shape[0]
     else:
-        coeffs = _pixel_path_pairs(imgs, quality, subsampling, use_fused)
+        coeffs = _pixel_path_pairs(imgs, quality, subsampling, use_fused,
+                                   pixel_path)
         bsz, n_mcu, bx64 = coeffs.shape
         b = bx64 // 64
         flat = coeffs.reshape(bsz * n_mcu, bx64)
@@ -284,18 +290,34 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
     bps = mcus_per_seg * b
     w_cap = -(-bps * bits_budget // 32)
     mcu_chunks, _ = entropy_pack.mcu_capacity(b, bits_budget)
-    if fused_bp is None and _mcu_major_ok(0, mcus_per_seg, mcu_chunks):
+    if (fused_bp is None and mcu_group == 1 and
+            _mcu_major_ok(0, mcus_per_seg, mcu_chunks)):
         mwords, mlens = entropy_pack.block_pack_mcu_pairs(
             flat, cls.astype(jnp.int32), dcd, b, mcu_chunks,
-            mcu_major_segs=bsz * n_seg, n_luma=n_luma)
+            mcu_major_segs=bsz * n_seg, n_luma=n_luma,
+            merge_rot=bp_merge_rot)
         seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
             mwords, mlens, bsz * n_seg, mcus_per_seg, w_cap,
             mcu_major=True)
+    elif fused_bp is None and mcu_group > 1:
+        # Grouped path — see _device_encode_pallas. Image boundaries
+        # coincide with segment starts (batch precondition), and
+        # gm | mcus_per_seg, so groups never straddle an image either.
+        assert mcus_per_seg % mcu_group == 0
+        g_eff = b * mcu_group
+        gchunks, _ = entropy_pack.mcu_capacity(g_eff, bits_budget)
+        cg = flat.reshape(flat.shape[0] // mcu_group,
+                          mcu_group * flat.shape[1])
+        mwords, mlens = entropy_pack.block_pack_mcu_pairs(
+            cg, cls.astype(jnp.int32), dcd, g_eff, gchunks,
+            n_luma=n_luma, merge_rot=bp_merge_rot, cls_period=b)
+        seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
+            mwords, mlens, bsz * n_seg, mcus_per_seg // mcu_group, w_cap)
     else:
         if fused_bp is None:
             mwords, mlens = entropy_pack.block_pack_mcu_pairs(
                 flat, cls.astype(jnp.int32), dcd, b, mcu_chunks,
-                n_luma=n_luma)
+                n_luma=n_luma, merge_rot=bp_merge_rot)
         seg_words, seg_bits, max_mcu_bits = entropy_pack.seg_merge_mcu(
             mwords, mlens, bsz * n_seg, mcus_per_seg, w_cap)
     frames_per_seg = seg_words.shape[1] // 1024
@@ -303,7 +325,7 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
         stream, img_off, total = entropy_pack.compact_segments_stuffed(
             seg_words, seg_bits, frames_per_seg, restart,
             segs_per_image=n_seg, mnum=marker_nums,
-            full_offsets=marker_nums is not None)
+            full_offsets=marker_nums is not None, k_chunks=compact_kb)
         return (stream, seg_bits.reshape(bsz, n_seg), max_mcu_bits,
                 img_off, total)
     stream = entropy_pack.compact_segments(seg_words, seg_bits,
@@ -324,14 +346,17 @@ def _jitted_encode_batch(batch: int, shape: Tuple[int, int],
         _device_encode_pallas_batch, quality=cfg.quality,
         subsampling=cfg.subsampling, restart=restart, n_seg=n_seg,
         mcus_per_seg=mcus_per_seg,
-        bits_budget=bits_budget or DEFAULT_BITS_BUDGET,
-        use_fused=cfg.use_pallas, device_stuff=cfg.device_stuff)
+        bits_budget=bits_budget or cfg.first_pass_budget,
+        use_fused=cfg.use_pallas, device_stuff=cfg.device_stuff,
+        pixel_path=cfg.pixel_path, fuse_bp=cfg.fuse_bp,
+        compact_kb=cfg.compact_kb, bp_merge_rot=cfg.bp_merge_rot,
+        mcu_group=_entropy_mcu_group(shape, cfg, bits_budget))
     return jax.jit(fn), restart, n_seg
 
 
 def _budget_overflow(seg_bits_np: np.ndarray, max_mcu_bits: int,
                      cap_bits: int, blocks_per_mcu: int,
-                     bits_budget: int = DEFAULT_BITS_BUDGET) -> bool:
+                     bits_budget: int) -> bool:
     """True when the first-pass bit budget was insufficient: a segment
     spilled its frame capacity, or a single MCU exceeded the (budget-sized)
     MCU stream capacity — both silently truncate on device, so the host
@@ -353,6 +378,25 @@ def _geometry(shape: Tuple[int, int], cfg: EncoderConfig):
     return restart, n_seg, mcus_per_seg
 
 
+def _entropy_mcu_group(shape: Tuple[int, int], cfg: EncoderConfig,
+                       bits_budget: int = 0) -> int:
+    """The MCU grouping factor the Pallas entropy program compiles with
+    (entropy_pack.mcu_group: gm consecutive MCUs merge as one unit when
+    that is chunk-count-free — cuts seg_merge's serial appends by gm and
+    halves the small-g symbolize waste for 444/422/gray; a no-op, gm=1,
+    for 420). Decided ONCE here so the device program and the host
+    budget-overflow check always agree on blocks per merge unit."""
+    restart, n_seg, mcus_per_seg = _geometry(shape, cfg)
+    my, mx = ops.mcu_grid(*shape, cfg.subsampling)
+    if (cfg.fuse_bp or (restart == 0 and n_seg == 1)
+            or n_seg * mcus_per_seg != my * mx):   # ragged pad: plain path
+        return 1
+    from jpegtpu.kernels import entropy_pack
+    return entropy_pack.mcu_group(cfg.blocks_per_mcu,
+                                  bits_budget or cfg.first_pass_budget,
+                                  mcus_per_seg)
+
+
 @functools.lru_cache(maxsize=64)
 def _jitted_encode(shape: Tuple[int, int], cfg: EncoderConfig,
                    bits_budget: int = 0):
@@ -372,8 +416,11 @@ def _jitted_encode(shape: Tuple[int, int], cfg: EncoderConfig,
             _device_encode_pallas, quality=cfg.quality,
             subsampling=cfg.subsampling, restart=restart, n_seg=n_seg,
             mcus_per_seg=mcus_per_seg,
-            bits_budget=bits_budget or DEFAULT_BITS_BUDGET,
-            use_fused=cfg.use_pallas, device_stuff=cfg.device_stuff)
+            bits_budget=bits_budget or cfg.first_pass_budget,
+            use_fused=cfg.use_pallas, device_stuff=cfg.device_stuff,
+            pixel_path=cfg.pixel_path, fuse_bp=cfg.fuse_bp,
+            compact_kb=cfg.compact_kb, bp_merge_rot=cfg.bp_merge_rot,
+            mcu_group=_entropy_mcu_group(shape, cfg, bits_budget))
         return jax.jit(fn), restart, ("scan" if cfg.device_stuff
                                       else "stream")
     fn = functools.partial(
@@ -401,8 +448,10 @@ class Encoder:
             if kind == "scan":                     # stuffed out is 2x+slack
                 frames = (stream.shape[0] // 1024 - 1) // (2 * n_seg)
             cap_bits = (frames - 1) * 1024 * 32    # last frame is slack
+            gm = _entropy_mcu_group((h, w), self.config)
             if _budget_overflow(seg_bits_np, int(np.asarray(max_mcu)),
-                                cap_bits, self.config.blocks_per_mcu):
+                                cap_bits, self.config.blocks_per_mcu * gm,
+                                self.config.first_pass_budget):
                 # Rare escalation: re-run with the worst-case budget.
                 fn, restart, kind = _jitted_encode(
                     (h, w), self.config, MAX_BITS_PER_BLOCK)
@@ -530,8 +579,9 @@ def _encode_batch_fused(imgs: np.ndarray, cfg: EncoderConfig) -> List[bytes]:
     if cfg.device_stuff:
         frames = (stream.shape[0] // 1024 - 1) // (2 * bsz * n_seg)
     cap_bits = (frames - 1) * 1024 * 32
+    gm = _entropy_mcu_group((h, w), cfg)
     if _budget_overflow(seg_bits_np, int(np.asarray(max_mcu)), cap_bits,
-                        cfg.blocks_per_mcu):
+                        cfg.blocks_per_mcu * gm, cfg.first_pass_budget):
         fn, restart, n_seg = _jitted_encode_batch(
             bsz, (h, w), cfg, MAX_BITS_PER_BLOCK)
         out_dev = fn(jnp.asarray(imgs))

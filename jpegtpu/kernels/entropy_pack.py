@@ -56,6 +56,20 @@ _TILE = 512  # MCU rows per grid step in kernel B / block_pack_mcu
 # (TPU sweep 2026-08: 512 -> 2.46 ms vs 2.56 ms at 256 on a 4K g=6
 # frame; 1024 exceeds VMEM. scripts/tpu_probe_bp_tile.py)
 
+# Timing-attribution hook for block_pack_mcu (scripts/tpu_probe_bp_attr.py):
+# trace-time Python branch only — production traces with None and carries
+# no cost. Outputs are GARBAGE in every non-None mode; they exist to bound
+# each stage's share of the kernel time by subtraction:
+#   "nosym"     skip _symbolize_pair entirely (raw coeffs as pair streams)
+#   "nocummax"  skip the run-length cummax rolls
+#   "nolut"     skip the Huffman table gathers (AC + DC)
+#   "nomm"      skip the MXU prefix matmuls (identity passthrough)
+#   "norank"    skip the binary-search rank gathers in _place_pair
+#   "nopsat"    skip the prefix-sum-at-rank gathers in _place_pair
+#   "nomergegather"  skip the per-chunk placement gathers in _merge_pairs
+#   "staticchain"    break _merge_pairs' serial off-chain (static offsets)
+_BP_ATTR_MODE = None
+
 
 def _interpret() -> bool:
     """Pallas interpreter mode off-TPU (tests on the CPU backend)."""
@@ -135,7 +149,10 @@ def _symbolize_pair(c, cls2, dcd2, ac_tbl_ref, dc_tbl_ref,
     nz = c != 0
     m = nz | (k == 0)                                   # DC slot sentinel
     masked = jnp.where(m, k, -1)
-    cmax = _cumlog64(masked, jnp.maximum, -1, k)        # per-half cummax
+    if _BP_ATTR_MODE == "nocummax":                     # timing only
+        cmax = masked
+    else:
+        cmax = _cumlog64(masked, jnp.maximum, -1, k)    # per-half cummax
     prev = pltpu.roll(cmax, 1, axis=1)
     prev = jnp.where(k == 0, 0, prev)                   # half-safe shift
     # last nonzero slot = the cummax at each half's final lane (the DC
@@ -166,17 +183,23 @@ def _symbolize_pair(c, cls2, dcd2, ac_tbl_ref, dc_tbl_ref,
         chunk_set = (2 * static_cls, 2 * static_cls + 1)
     low = idx & 127
     chunk = jnp.right_shift(idx, 7)
-    packed = jnp.zeros((t, 128), jnp.int32)
-    for ci in chunk_set:
-        tbl_c = jnp.broadcast_to(ac_tbl_ref[ci:ci + 1, :], (t, 128))
-        g = jnp.take_along_axis(tbl_c, low, axis=1)
-        packed = jnp.where(chunk == ci, g, packed)
-    a_code = jnp.right_shift(packed, 5)
-    a_len = packed & 31
+    if _BP_ATTR_MODE == "nolut":                        # timing only
+        packed = (idx << 5) | 5
+        d_packed = (per_half(cls2 * 16 + d_size2) << 5) | 5
+        a_code = jnp.right_shift(packed, 5)
+        a_len = packed & 31
+    else:
+        packed = jnp.zeros((t, 128), jnp.int32)
+        for ci in chunk_set:
+            tbl_c = jnp.broadcast_to(ac_tbl_ref[ci:ci + 1, :], (t, 128))
+            g = jnp.take_along_axis(tbl_c, low, axis=1)
+            packed = jnp.where(chunk == ci, g, packed)
+        a_code = jnp.right_shift(packed, 5)
+        a_len = packed & 31
 
-    dc_idx = per_half(cls2 * 16 + d_size2)              # [T2, 128]
-    dc_tbl = jnp.broadcast_to(dc_tbl_ref[...], (t, 128))
-    d_packed = jnp.take_along_axis(dc_tbl, dc_idx, axis=1)
+        dc_idx = per_half(cls2 * 16 + d_size2)          # [T2, 128]
+        dc_tbl = jnp.broadcast_to(dc_tbl_ref[...], (t, 128))
+        d_packed = jnp.take_along_axis(dc_tbl, dc_idx, axis=1)
     d_code = jnp.right_shift(d_packed, 5)
     d_len = d_packed & 31
     d_size = per_half(d_size2)
@@ -256,12 +279,15 @@ def _place_pair(v_hi, v_lo, wt, k, half):
 
     # count[., w] = #slots with wt <= w, via branchless binary search.
     # Steps start at 64 so the count can reach all 64 slots; probes clamp.
-    pos = jnp.zeros((t, 128), jnp.int32)
-    for step in (64, 32, 16, 8, 4, 2, 1):
-        cand = pos + step
-        probe = jnp.take_along_axis(
-            wt, jnp.minimum(cand, 64) - 1 + base, axis=1)
-        pos = jnp.where((cand <= 64) & (probe <= k), cand, pos)
+    if _BP_ATTR_MODE == "norank":                       # timing only
+        pos = jnp.minimum(k + 1, 64)
+    else:
+        pos = jnp.zeros((t, 128), jnp.int32)
+        for step in (64, 32, 16, 8, 4, 2, 1):
+            cand = pos + step
+            probe = jnp.take_along_axis(
+                wt, jnp.minimum(cand, 64) - 1 + base, axis=1)
+            pos = jnp.where((cand <= 64) & (probe <= k), cand, pos)
     pos_lo = jnp.where(k == 0, 0, pltpu.roll(pos, 1, axis=1))
 
     def place(v, pos_v):
@@ -275,6 +301,8 @@ def _place_pair(v_hi, v_lo, wt, k, half):
         vl = pltpu.bitcast(v & 0xFFFF, jnp.int32).astype(jnp.float32)
 
         def ps_at(ps):
+            if _BP_ATTR_MODE == "nopsat":               # timing only
+                return pltpu.bitcast(ps.astype(jnp.int32), jnp.uint32)
             g = jnp.take_along_axis(pltpu.bitcast(ps, jnp.int32),
                                     jnp.maximum(pos_v - 1, 0) + base,
                                     axis=1)
@@ -322,6 +350,8 @@ def _prefix64_mm(x_f32, bd):
     halves), which corrupted real-TPU output while interpret mode stayed
     bit-exact. HIGHEST's hi+lo bf16 decomposition is exact for 16-bit
     integers against a 0/1 matrix."""
+    if _BP_ATTR_MODE == "nomm":                         # timing only
+        return x_f32
     return jax.lax.dot_general(x_f32, bd, (((1,), (0,)), ((), ())),
                                precision=jax.lax.Precision.HIGHEST,
                                preferred_element_type=jnp.float32)
@@ -377,6 +407,33 @@ def block_pack(coeffs: jax.Array, cls: jax.Array,
     return words.reshape(n, 64)[:, :BLOCK_WORDS], lens.reshape(n)
 
 
+def mcu_group(g: int, bits_budget: int, mcus_per_seg: int) -> int:
+    """MCU grouping factor for the entropy kernels: gm > 1 merges gm
+    consecutive MCUs into ONE merge unit in block_pack_mcu, cutting
+    seg_merge_mcu's serial append count by gm at identical bytes (the
+    segment stream is the same concatenation either way).
+
+    Grouping is chosen ONLY when it is free on the block_pack side: the
+    grouped unit must still fit the SAME number of stream chunks as a
+    single MCU (otherwise every placement/merge pass doubles — the
+    round-3 negative result for pre-merging 420 pairs, docs/PERF.md).
+    That makes it a no-op for 420 (g=6 already fills the budget chunk)
+    and a structural win for the small-g modes the round-3 verdict
+    flagged 2.6x off 420's per-pixel throughput: 444/422 group 2 MCUs,
+    gray groups 8 (one chunk holds 8 grayscale MCU streams).
+
+    Requires gm | mcus_per_seg so groups never straddle a restart
+    segment boundary. Returns a power of two in {1, 2, 4, 8}."""
+    chunks1, _ = mcu_capacity(g, bits_budget)
+    for cand in (8, 4, 2):
+        if mcus_per_seg % cand:
+            continue
+        ch, _ = mcu_capacity(g * cand, bits_budget)
+        if ch == chunks1:
+            return cand
+    return 1
+
+
 def mcu_capacity(g: int, bits_budget: int) -> Tuple[int, int]:
     """Per-MCU stream capacity under a per-block bit budget.
 
@@ -394,7 +451,9 @@ def mcu_capacity(g: int, bits_budget: int) -> Tuple[int, int]:
 def _block_pack_mcu_kernel(coeffs_ref, cls_ref, dcd_ref, ac_tbl_ref,
                            dc_tbl_ref, mwords_ref, mlens_ref,
                            *, g: int, chunks: int,
-                           n_luma: int | None = None):
+                           n_luma: int | None = None,
+                           merge_rot: bool | None = None,
+                           cls_period: int | None = None):
     """Kernels B+C fused: symbolize + per-block pack + MCU merge with the
     per-block streams never leaving registers (saves the full [N,56]
     HBM round trip and the mcu_merge kernel's streaming floor).
@@ -413,29 +472,43 @@ def _block_pack_mcu_kernel(coeffs_ref, cls_ref, dcd_ref, ac_tbl_ref,
         # Static per-pair class when the MCU layout fixes it (420/422:
         # luma blocks first, then Cb, Cr; an odd-g dummy block is never
         # merged, so it inherits its neighbor's class harmlessly).
+        # cls_period: with MCU grouping (mcu_group > 1) the class pattern
+        # repeats every cls_period blocks instead of running luma-first
+        # across all g.
         static_cls = None
         if n_luma is not None:
-            ca = int(min(2 * p, g - 1) >= n_luma)
-            cb = int(min(2 * p + 1, g - 1) >= n_luma)
+            per = cls_period or g
+            ca = int(min(2 * p, g - 1) % per >= n_luma)
+            cb = int(min(2 * p + 1, g - 1) % per >= n_luma)
             if ca == cb:
                 static_cls = ca
-        w_p, tot_p = _symbolize_pair(
-            c, cls_a[:, 2 * p:2 * p + 2], dcd_a[:, 2 * p:2 * p + 2],
-            ac_tbl_ref, dc_tbl_ref, static_cls=static_cls)
+        if _BP_ATTR_MODE == "nosym":                    # timing only
+            w_p = pltpu.bitcast(c, jnp.uint32)
+            tot_p = jnp.full((c.shape[0], 2), 500, jnp.int32)
+        else:
+            w_p, tot_p = _symbolize_pair(
+                c, cls_a[:, 2 * p:2 * p + 2], dcd_a[:, 2 * p:2 * p + 2],
+                ac_tbl_ref, dc_tbl_ref, static_cls=static_cls)
         pair_words.append(w_p)
         pair_tot.append(tot_p)
 
-    merged, off = _merge_pairs(pair_words, pair_tot, g, chunks)
+    merged, off = _merge_pairs(pair_words, pair_tot, g, chunks,
+                               rot=merge_rot)
     # ref shapes differ by a unit middle dim in mcu-major mode
     mwords_ref[...] = merged.reshape(mwords_ref.shape)
     mlens_ref[...] = off.reshape(mlens_ref.shape)
 
 
-def _merge_pairs(pair_words, pair_tot, g: int, chunks: int):
+def _merge_pairs(pair_words, pair_tot, g: int, chunks: int,
+                 rot: bool | None = None):
     """Register MCU merge: per-pair packed streams ([T,128] u32, block A
     in lanes [0,64), B in [64,128)) + per-pair totals [T,2] -> (merged
     MCU streams [T, chunks*128] u32, total bits [T,1] i32). Shared by
-    _block_pack_mcu_kernel and the fused pixel+block-pack kernel."""
+    _block_pack_mcu_kernel and the fused pixel+block-pack kernel.
+    rot selects the rotate+select placement variant (None = the module
+    default _BP_MERGE_ROT; production paths pass EncoderConfig.bp_merge_rot)."""
+    if rot is None:
+        rot = _BP_MERGE_ROT
     t = pair_words[0].shape[0]
     lane = jax.lax.broadcasted_iota(jnp.int32, (t, 128), 1)
     out_chunks = [jnp.zeros((t, 128), jnp.uint32) for _ in range(chunks)]
@@ -446,13 +519,16 @@ def _merge_pairs(pair_words, pair_tot, g: int, chunks: int):
         if hh:                      # bring block B's words to lanes [0,64)
             w = pltpu.roll(w, 64, axis=1)
         w_pad = jnp.where(lane < 64, w, 0)
+        if _BP_ATTR_MODE == "staticchain":  # timing only: break the
+            # serial off-dependency with trace-time-constant offsets
+            off = jnp.full((t, 1), gi * 500, jnp.int32)
         r = (off & 31).astype(jnp.uint32)
         q = off >> 5
         rolled1 = pltpu.roll(w_pad, 1, axis=1)
         sh = jnp.right_shift(w_pad, r)
         sh = sh | jnp.left_shift(jnp.left_shift(rolled1, 1),
                                  (31 - r) & 31)
-        if _BP_MERGE_ROT:
+        if rot:
             # One per-row rotation to the in-chunk lane position, then
             # masked chunk selects: a block's <= 65 stream words (64 +
             # funnel spill) span exactly the chunk windows q>>7 and
@@ -473,6 +549,8 @@ def _merge_pairs(pair_words, pair_tot, g: int, chunks: int):
                 if ci:
                     out_chunks[ci] = out_chunks[ci] | \
                         jnp.where(ca + 1 == ci, lo, 0)
+        elif _BP_ATTR_MODE == "nomergegather":          # timing only
+            out_chunks[0] = out_chunks[0] | sh
         else:
             for ci in range(chunks):
                 idx = lane + (128 * ci) - q
@@ -486,7 +564,8 @@ def _merge_pairs(pair_words, pair_tot, g: int, chunks: int):
 
 def block_pack_mcu(coeffs: jax.Array, cls: jax.Array, dcdiff: jax.Array,
                    g: int, chunks: int | None = None,
-                   n_luma: int | None = None):
+                   n_luma: int | None = None,
+                   merge_rot: bool | None = None):
     """[N, 64] i32 zigzag blocks in MCU-major order (+[N] class, [N]
     dcdiff) -> ([N/g, chunks*128] u32 MCU streams, [N/g] i32 bit
     lengths). Bit-identical to mcu_merge(*block_pack(...), g, chunks);
@@ -494,13 +573,16 @@ def block_pack_mcu(coeffs: jax.Array, cls: jax.Array, dcdiff: jax.Array,
     n = coeffs.shape[0]
     assert n % g == 0
     return block_pack_mcu_pairs(coeffs.reshape(n // g, g * 64), cls,
-                                dcdiff, g, chunks, n_luma=n_luma)
+                                dcdiff, g, chunks, n_luma=n_luma,
+                                merge_rot=merge_rot)
 
 
 def block_pack_mcu_pairs(c2: jax.Array, cls: jax.Array, dcdiff: jax.Array,
                          g: int, chunks: int | None = None,
                          mcu_major_segs: int | None = None,
-                         n_luma: int | None = None):
+                         n_luma: int | None = None,
+                         merge_rot: bool | None = None,
+                         cls_period: int | None = None):
     """block_pack_mcu on the pairs/native form: c2 [nM, g*64] with
     block-major columns (block i's zigzag slots at columns [64i, 64i+64))
     — the device kernel's own input layout, so production paths whose
@@ -542,7 +624,9 @@ def block_pack_mcu_pairs(c2: jax.Array, cls: jax.Array, dcdiff: jax.Array,
             dcdiff = jnp.concatenate([dcdiff.reshape(-1),
                                       jnp.zeros(pad * g, dcdiff.dtype)])
             mw, ml = block_pack_mcu_pairs(c2, cls, dcdiff, g, chunks,
-                                          n_luma=n_luma)
+                                          n_luma=n_luma,
+                                          merge_rot=merge_rot,
+                                          cls_period=cls_period)
             return mw[:nm], ml[:nm]
     g2 = (g + 1) // 2
     cls2 = cls.reshape(nm, g)
@@ -554,7 +638,8 @@ def block_pack_mcu_pairs(c2: jax.Array, cls: jax.Array, dcdiff: jax.Array,
     ac_tbl = jnp.asarray(_lut_tables())
     dc_tbl = jnp.asarray(_dc_tables())
     kernel = functools.partial(_block_pack_mcu_kernel, g=g, chunks=chunks,
-                               n_luma=n_luma)
+                               n_luma=n_luma, merge_rot=merge_rot,
+                               cls_period=cls_period)
     if mcu_major_segs:
         n_seg_p = -(-mcu_major_segs // 8) * 8
         out_specs = (
@@ -621,7 +706,8 @@ def _seg_merge_v3_kernel(mwords_ref, off_ref, len_ref, map_ref, out_ref,
       * the window persists across m grid steps in VMEM scratch, so a
         segment's length never bounds VMEM — the streaming fix for the
         restart=0 cliff.
-    mwords [1, mb, S, chunks*128], off/len [1, mb, S, 1], map [1, mb, 1, 1]
+    mwords [1, mb, S, chunks*128], off/len [1, mb, S, 1], map [1, mb, 1, 2]
+    (two crossing-bitmap words since s_rows=64 support)
     -> out [(G*S)*frames, 8, 128] via DMA only.
     """
     nwin = 16

@@ -151,7 +151,7 @@ def encode_blocks_pairs(img: jax.Array, quality: int,
 
     Computed by the XLA fused path — since round 3 this is the ORACLE /
     fallback tier; production is encode_blocks_pallas_nat_pairs (the
-    natural-layout kernel, selected by encoder._PIXEL_PATH_IMPL). An
+    natural-layout kernel, selected by EncoderConfig.pixel_path). An
     in-context device-trace A/B (scripts/tpu_trace_ab.py, tpu_ab_pixel.
     py) showed XLA fuses the MCU tiling into neighbors down to ~0.25
     ms/4K frame, while the 4D-input Pallas pixel kernel — 8x faster

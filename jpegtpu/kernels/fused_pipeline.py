@@ -22,6 +22,21 @@ unsupported — the sharded no-restart path keeps the split kernels).
 Output is bit-identical to the split pipeline by construction (the same
 _symbolize_pair / _merge_pairs code runs on the same int32 coefficients)
 and asserted by tests + the hardware A/B (scripts/tpu_ab_fused_bp.py).
+
+Twin-rounding hazard (the one qualification to the bit-identical-oracle
+invariant): the Pallas pixel kernels (nat and this fused front-end) and
+the XLA twin (fused_dctq.encode_blocks / encode_blocks_pairs) compute
+the SAME f32 affine operator, but XLA may fuse the +0.5-and-floor
+rounding differently from Mosaic, so a coefficient whose pre-rounding
+value lands within one ulp of x.5 can round to a different integer —
+producing a different (still valid) JPEG. This has never been observed
+on real content at 4K, but tests that compare the fused and split
+PALLAS pipelines pin both sides to the same pixel kernel rather than
+mixing Pallas vs XLA pixel paths (tests/test_kernels.py
+test_fused_pipeline_matches_split). Encoder-level Pallas-vs-oracle
+byte-parity tests still pass on all tested content; hardware validation
+always goes through full-program byte comparison (scripts/tpu_bisect.py)
+which would surface a knife-edge divergence as a mismatch to triage.
 """
 
 from __future__ import annotations

@@ -6,6 +6,7 @@ interleaved in ONE process on the full 4K device program. Scan bytes
 asserted equal first (both front-ends run the SAME Pallas matmul, so no
 f32 twin-rounding hazard — see fused_pipeline docstring)."""
 
+import dataclasses
 import os
 import sys
 import time
@@ -43,9 +44,8 @@ def main():
     fns = {}
     ref = None
     for fuse in (True, False):
-        enc_mod._FUSE_BP = fuse
-        enc_mod._jitted_encode.cache_clear()
-        fn, _, _ = enc_mod._jitted_encode((h, w), cfg)
+        cfg_v = dataclasses.replace(cfg, fuse_bp=fuse)
+        fn, _, _ = enc_mod._jitted_encode((h, w), cfg_v)
         out = fn(imgd)
         float(probe(out))
         total = int(np.asarray(out[3]))
@@ -57,8 +57,7 @@ def main():
                 f"fuse={fuse} IN-CONTEXT MISMATCH — do not ship"
         fns[fuse] = fn
         log(f"fuse={fuse} warm, scan identical ({total} B)")
-    enc_mod._FUSE_BP = False
-    enc_mod._jitted_encode.cache_clear()
+    cfg_v = dataclasses.replace(cfg, fuse_bp=False)
 
     def chain(fn, k):
         t0 = time.perf_counter()

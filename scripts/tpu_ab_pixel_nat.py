@@ -4,6 +4,7 @@ aligned row-slab input, in-kernel lanes->sublanes MCU transpose) against
 the XLA fused pixel path, interleaved in ONE process on the full 4K
 device program. Valid scan bytes asserted equal first."""
 
+import dataclasses
 import os
 import sys
 import time
@@ -41,9 +42,8 @@ def main():
     fns = {}
     ref = None
     for name in ("nat", "xla"):
-        enc_mod._PIXEL_PATH_IMPL = name
-        enc_mod._jitted_encode.cache_clear()
-        fn, _, _ = enc_mod._jitted_encode((h, w), cfg)
+        cfg_v = dataclasses.replace(cfg, pixel_path=name)
+        fn, _, _ = enc_mod._jitted_encode((h, w), cfg_v)
         out = fn(imgd)
         float(probe(out))
         total = int(np.asarray(out[3]))
@@ -55,8 +55,7 @@ def main():
                 f"{name} IN-CONTEXT MISMATCH — do not ship"
         fns[name] = fn
         log(f"{name} warm, scan identical ({total} B)")
-    enc_mod._PIXEL_PATH_IMPL = "xla"
-    enc_mod._jitted_encode.cache_clear()
+    cfg_v = dataclasses.replace(cfg, pixel_path="xla")
 
     def chain(fn, k):
         t0 = time.perf_counter()

@@ -5,6 +5,7 @@ full device program, nat vs xla scan bytes asserted equal, then a short
 amortized timing per mode. (420 is covered by scripts/tpu_ab_pixel_nat.py.)
 """
 
+import dataclasses
 import os
 import sys
 import time
@@ -49,9 +50,8 @@ def main():
         ref = None
         fns = {}
         for name in ("nat", "xla"):
-            enc_mod._PIXEL_PATH_IMPL = name
-            enc_mod._jitted_encode.cache_clear()
-            fn, _, _ = enc_mod._jitted_encode((h, w), cfg)
+            cfg_v = dataclasses.replace(cfg, pixel_path=name)
+            fn, _, _ = enc_mod._jitted_encode((h, w), cfg_v)
             out = fn(imgd)
             float(probe(out))
             total = int(np.asarray(out[3]))
@@ -70,8 +70,7 @@ def main():
             dt = (d9 - d1) / 8
             log(f"{sub} {name}: {dt * 1e3:.2f} ms/frame "
                 f"({h * w / dt / 1e6:.0f} MPix/s)")
-    enc_mod._PIXEL_PATH_IMPL = "nat"
-    enc_mod._jitted_encode.cache_clear()
+    cfg_v = dataclasses.replace(cfg, pixel_path="nat")
     log("DONE")
     return 0
 

@@ -3,6 +3,7 @@
 full-program device scans against the independent C++ CPU encoder
 (byte-identical tier) at 4K, and localize the first differing byte."""
 
+import dataclasses
 import os
 import sys
 
@@ -44,9 +45,8 @@ def main():
     log(f"cpu scan: {len(cpu)} B")
 
     for name in ("nat", "xla"):
-        enc_mod._PIXEL_PATH_IMPL = name
-        enc_mod._jitted_encode.cache_clear()
-        fn, _, _ = enc_mod._jitted_encode((h, w), cfg)
+        cfg_v = dataclasses.replace(cfg, pixel_path=name)
+        fn, _, _ = enc_mod._jitted_encode((h, w), cfg_v)
         out = fn(imgd)
         float(probe(out))
         total = int(np.asarray(out[3]))
@@ -59,8 +59,7 @@ def main():
             d = np.nonzero(a != b)[0]
             log(f"  {len(d)} differing bytes; first at {d[0]} "
                 f"(frame {d[0] >> 12}), last at {d[-1]}")
-    enc_mod._PIXEL_PATH_IMPL = "nat"
-    enc_mod._jitted_encode.cache_clear()
+    cfg_v = dataclasses.replace(cfg, pixel_path="nat")
     log("DONE")
     return 0
 

@@ -5,6 +5,7 @@ pixel paths (full Pallas program) and the oracle, 3 repetitions each,
 comparing full JPEG bytes — catches intermittent corruption and
 identifies which variant is wrong."""
 
+import dataclasses
 import os
 import sys
 
@@ -39,9 +40,7 @@ def main():
 
     for rep in range(3):
         for name in ("nat", "xla"):
-            enc_mod._PIXEL_PATH_IMPL = name
-            enc_mod._jitted_encode.cache_clear()
-            jpg = Encoder(EncoderConfig(**kw)).encode(img)
+            jpg = Encoder(EncoderConfig(pixel_path=name, **kw)).encode(img)
             if jpg == oracle:
                 log(f"rep{rep} {name}: MATCH ({len(jpg)} B)")
             else:
@@ -49,8 +48,6 @@ def main():
                 i = next((i for i in range(n) if jpg[i] != oracle[i]), n)
                 log(f"rep{rep} {name}: MISMATCH at byte {i}/{len(oracle)} "
                     f"({len(jpg)} B)")
-    enc_mod._PIXEL_PATH_IMPL = "nat"
-    enc_mod._jitted_encode.cache_clear()
     log("DONE")
     return 0
 

@@ -311,7 +311,7 @@ def _stuff_oracle(seg_bytes_list, restart):
     return b"".join(parts)
 
 
-@pytest.mark.parametrize("kb", [1, 2, 3])
+@pytest.mark.parametrize("kb", [1, 2, 3, 4])
 @pytest.mark.parametrize("restart", [0, 4])
 @pytest.mark.parametrize("seed", [0, 1])
 def test_compact_stuffed_matches_oracle(restart, seed, kb):
@@ -345,7 +345,7 @@ def test_compact_stuffed_matches_oracle(restart, seed, kb):
     assert raw.tobytes() == expected
 
 
-@pytest.mark.parametrize("kb", [1, 2, 3])
+@pytest.mark.parametrize("kb", [1, 2, 3, 4])
 @pytest.mark.parametrize("resid", [4093, 4094, 4095])
 def test_compact_stuffed_trailing_marker_frame_edge(resid, kb):
     """Trailing RST marker on the LAST segment (the sharded row-shard path
@@ -531,24 +531,41 @@ def test_fused_pipeline_matches_split(sub, n_luma, shape, restart):
 
 
 def test_encoder_fused_bp_end_to_end(monkeypatch):
-    """JPEGTPU_FUSE_BP routes the Pallas tier through the mega-fused
-    front-end; the complete encode must stay byte-identical to the XLA
-    oracle encoder (the production-flip precondition)."""
+    """EncoderConfig(fuse_bp=True) routes the Pallas tier through the
+    mega-fused front-end; the complete encode must stay byte-identical to
+    the XLA oracle encoder (the production-flip precondition).
+
+    Geometry (64, 128, 3): 4:2:0 gives nrx=8 MCUs per row, a multiple of
+    the kernel's grp=8, so fused_pixel_block_pack_pairs actually covers it
+    — asserted below (with 64x48 / nrx=3 the fused path returned None and
+    this test silently validated only the fallback; advisor r3 medium)."""
     import jpegtpu.encoder as enc_mod
     import jpegtpu.kernels.entropy_pack as epk
     from jpegtpu.config import EncoderConfig
+    from jpegtpu.kernels import fused_pipeline
 
     rng = np.random.default_rng(29)
-    img = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
-    for restart in ("rows", 0, 2):
-        cfg = EncoderConfig(quality=85, subsampling="420",
-                            restart_interval=restart)
-        xla_bytes = enc_mod.Encoder(cfg).encode(img)
+    img = rng.integers(0, 256, (64, 128, 3), dtype=np.uint8)
+    fused_calls = []
+    real_fused = fused_pipeline.fused_pixel_block_pack_pairs
 
+    def spy(*a, **k):
+        out = real_fused(*a, **k)
+        fused_calls.append(out is not None)
+        return out
+
+    for restart in ("rows", 0, 2):
+        base = EncoderConfig(quality=85, subsampling="420",
+                             restart_interval=restart)
+        xla_bytes = enc_mod.Encoder(base).encode(img)
+
+        cfg = EncoderConfig(quality=85, subsampling="420",
+                            restart_interval=restart, fuse_bp=True)
         monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
         monkeypatch.setattr(epk, "_interpret", lambda: True)
         monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
-        monkeypatch.setattr(enc_mod, "_FUSE_BP", True)
+        monkeypatch.setattr(fused_pipeline,
+                            "fused_pixel_block_pack_pairs", spy)
         enc_mod._jitted_encode.cache_clear()
         try:
             pallas_bytes = enc_mod.Encoder(cfg).encode(img)
@@ -556,6 +573,8 @@ def test_encoder_fused_bp_end_to_end(monkeypatch):
             monkeypatch.undo()
             enc_mod._jitted_encode.cache_clear()
         assert pallas_bytes == xla_bytes, restart
+    # the mega-fused front-end must have been TAKEN, not fallen back
+    assert fused_calls and all(fused_calls), fused_calls
 
 
 def test_pixel_kernel_non420_falls_back():
@@ -594,6 +613,45 @@ def test_encode_batch_fused_matches_single(monkeypatch):
     assert batched == singles
 
 
+def test_encode_batch_fused_budget_escalation(monkeypatch):
+    """A custom non-default bits_budget small enough to overflow must
+    escalate on the BATCH path with the custom value threaded into the
+    overflow check (not DEFAULT_BITS_BUDGET) and produce byte-identical
+    output (VERDICT r3 weak #5)."""
+    import jpegtpu.encoder as enc_mod
+    import jpegtpu.kernels.entropy_pack as epk
+    from jpegtpu.config import EncoderConfig
+
+    rng = np.random.default_rng(6)
+    imgs = rng.integers(0, 256, (2, 24, 16, 3), dtype=np.uint8)
+    singles = [enc_mod.Encoder(EncoderConfig(
+        quality=100, subsampling="420",
+        restart_interval="rows")).encode(im) for im in imgs]
+
+    cfg = EncoderConfig(quality=100, subsampling="420",
+                        restart_interval="rows", bits_budget=48)
+    seen = []
+    real_overflow = enc_mod._budget_overflow
+
+    def spy(seg_bits_np, max_mcu_bits, cap_bits, blocks_per_mcu,
+            bits_budget):
+        seen.append(bits_budget)
+        return real_overflow(seg_bits_np, max_mcu_bits, cap_bits,
+                             blocks_per_mcu, bits_budget)
+
+    monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
+    monkeypatch.setattr(enc_mod, "_budget_overflow", spy)
+    enc_mod._jitted_encode_batch.cache_clear()
+    try:
+        batched = enc_mod._encode_batch_fused(imgs, cfg)
+    finally:
+        enc_mod._jitted_encode_batch.cache_clear()
+    assert batched == singles
+    assert seen == [48], seen  # the FIRST-PASS budget, threaded through
+
+
 def test_pallas_path_ragged_restart(monkeypatch):
     """Restart interval that does not divide the MCU count: the padded tail
     segment must stay silent (zero-length blocks) on the Pallas path too."""
@@ -626,14 +684,18 @@ def test_budget_escalation(monkeypatch):
 
     rng = np.random.default_rng(9)
     img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)  # noise: dense
-    cfg = EncoderConfig(quality=100, subsampling="444",
-                        restart_interval="rows")
-    xla_bytes = enc_mod.Encoder(cfg).encode(img)
+    xla_bytes = enc_mod.Encoder(EncoderConfig(
+        quality=100, subsampling="444",
+        restart_interval="rows")).encode(img)
 
+    # A custom (non-default) first-pass budget small enough to overflow:
+    # the escalation must key off the budget the first pass actually
+    # compiled with, not DEFAULT_BITS_BUDGET (VERDICT r3 weak #5).
+    cfg = EncoderConfig(quality=100, subsampling="444",
+                        restart_interval="rows", bits_budget=48)
     monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(epk, "_interpret", lambda: True)
     monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
-    monkeypatch.setattr(enc_mod, "DEFAULT_BITS_BUDGET", 48)  # force overflow
     enc_mod._jitted_encode.cache_clear()
     try:
         pallas_bytes = enc_mod.Encoder(cfg).encode(img)
@@ -879,13 +941,14 @@ def test_budget_escalation_virtual_split(monkeypatch):
 
     rng = np.random.default_rng(10)
     img = rng.integers(0, 256, (32, 64, 3), dtype=np.uint8)  # 8 MCUs
-    cfg = EncoderConfig(quality=100, subsampling="420", restart_interval=0)
-    xla_bytes = enc_mod.Encoder(cfg).encode(img)
+    xla_bytes = enc_mod.Encoder(EncoderConfig(
+        quality=100, subsampling="420", restart_interval=0)).encode(img)
 
+    cfg = EncoderConfig(quality=100, subsampling="420", restart_interval=0,
+                        bits_budget=48)  # custom budget forcing overflow
     monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(epk, "_interpret", lambda: True)
     monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
-    monkeypatch.setattr(enc_mod, "DEFAULT_BITS_BUDGET", 48)  # force overflow
     enc_mod._jitted_encode.cache_clear()
     try:
         pallas_bytes = enc_mod.Encoder(cfg).encode(img)
@@ -915,7 +978,7 @@ def test_block_pack_mcu_static_class_bit_identical(g, n_luma):
     np.testing.assert_array_equal(np.asarray(a_l), np.asarray(b_l))
 
 
-@pytest.mark.parametrize("kb", [1, 2, 3])
+@pytest.mark.parametrize("kb", [1, 2, 3, 4])
 def test_compact_stuffed_all_ff_rows(kb):
     """A fully-0xFF segment doubles under stuffing, pushing rows past
     output word 254 — maximal expansion, the worst case for the batched
@@ -992,23 +1055,24 @@ def test_compact_stuffed_fuzz(seed):
 
 
 def test_encoder_dma_pixel_path_end_to_end(monkeypatch):
-    """_PIXEL_PATH_IMPL='dma' routes the Pallas tier through the DMA-input
-    pixel kernel; the complete encode must stay byte-identical to the XLA
-    oracle encoder (the production-flip precondition)."""
+    """EncoderConfig(pixel_path='dma') routes the Pallas tier through the
+    DMA-input pixel kernel; the complete encode must stay byte-identical
+    to the XLA oracle encoder (the production-flip precondition)."""
     import jpegtpu.encoder as enc_mod
     import jpegtpu.kernels.entropy_pack as epk
     from jpegtpu.config import EncoderConfig
 
     rng = np.random.default_rng(23)
     img = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
-    cfg = EncoderConfig(quality=85, subsampling="420",
-                        restart_interval="rows")
-    xla_bytes = enc_mod.Encoder(cfg).encode(img)
+    xla_bytes = enc_mod.Encoder(EncoderConfig(
+        quality=85, subsampling="420",
+        restart_interval="rows")).encode(img)
 
+    cfg = EncoderConfig(quality=85, subsampling="420",
+                        restart_interval="rows", pixel_path="dma")
     monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(epk, "_interpret", lambda: True)
     monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
-    monkeypatch.setattr(enc_mod, "_PIXEL_PATH_IMPL", "dma")
     enc_mod._jitted_encode.cache_clear()
     try:
         pallas_bytes = enc_mod.Encoder(cfg).encode(img)
@@ -1032,6 +1096,39 @@ def test_encoder_pallas_path_all_subsamplings(sub, monkeypatch):
     img = rng.integers(0, 256, shape, dtype=np.uint8)
     cfg = EncoderConfig(quality=80, subsampling=sub,
                         restart_interval="rows")
+    xla_bytes = enc_mod.Encoder(cfg).encode(img)
+
+    monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
+    enc_mod._jitted_encode.cache_clear()
+    try:
+        pallas_bytes = enc_mod.Encoder(cfg).encode(img)
+    finally:
+        enc_mod._jitted_encode.cache_clear()
+    assert pallas_bytes == xla_bytes
+
+
+@pytest.mark.parametrize("sub,shape,want_gm", [
+    ("444", (16, 128, 3), 2),    # mx=16, g=3 -> pairs of MCUs
+    ("422", (16, 128, 3), 2),    # mx=8, g=4 -> pairs
+    ("gray", (16, 128), 8),      # mx=16, g=1 -> 8 MCUs per unit
+    ("420", (32, 128, 3), 1),    # g=6 already fills the budget chunk
+])
+def test_encoder_mcu_grouping_byte_parity(sub, shape, want_gm, monkeypatch):
+    """The small-g MCU grouping (entropy_pack.mcu_group: gm MCUs merge as
+    one block_pack unit, 1/gm the seg_merge appends) must (a) activate at
+    the expected factor per mode and (b) leave the encoded file
+    byte-identical to the XLA oracle encoder."""
+    import jpegtpu.encoder as enc_mod
+    import jpegtpu.kernels.entropy_pack as epk
+    from jpegtpu.config import EncoderConfig
+
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    cfg = EncoderConfig(quality=85, subsampling=sub,
+                        restart_interval="rows")
+    assert enc_mod._entropy_mcu_group(shape[:2], cfg) == want_gm
     xla_bytes = enc_mod.Encoder(cfg).encode(img)
 
     monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")

@@ -49,17 +49,20 @@ def test_multihost_matches_single(tmp_path, nproc):
     for rc, out, err in results:
         assert rc == 0, f"worker failed:\n{err.decode()[-3000:]}"
 
-    jpegs = [pickle.loads(o.read_bytes()) for o in outs]
-    assert all(j == jpegs[0] for j in jpegs), \
+    results_by_proc = [pickle.loads(o.read_bytes()) for o in outs]
+    assert all(r == results_by_proc[0] for r in results_by_proc), \
         "processes disagree on output bytes"
 
     # Single-process ground truth (this process: 8 virtual CPU devices).
+    # Covers BOTH restart modes: 'rows' (restart-segment sharding) and 0
+    # (ppermute DC exchange + bit-level merge across process boundaries).
     from jpegtpu.config import EncoderConfig
     from jpegtpu.encoder import Encoder
     rng = np.random.default_rng(0)
     imgs = rng.integers(0, 256, (nproc, 128, 32, 3), dtype=np.uint8)
-    cfg = EncoderConfig(quality=75, subsampling="420",
-                        restart_interval="rows")
-    enc = Encoder(cfg)
-    singles = [enc.encode(im) for im in imgs]
-    assert jpegs[0] == singles
+    for restart in ("rows", 0):
+        cfg = EncoderConfig(quality=75, subsampling="420",
+                            restart_interval=restart)
+        enc = Encoder(cfg)
+        singles = [enc.encode(im) for im in imgs]
+        assert results_by_proc[0][restart] == singles, restart

@@ -15,8 +15,13 @@ REPO = Path(__file__).resolve().parent.parent
 
 
 def _newest_bench():
-    arts = sorted(REPO.glob("BENCH_r*.json"))
-    assert arts, "no BENCH_r*.json artifact found"
+    # The driver writes BENCH_r{N}.json at the repo root but does not commit
+    # it (artifacts vanish between rounds); artifacts/*.pinned.json are
+    # committed snapshots of past driver artifacts so this gate stays
+    # meaningful on a fresh checkout. Root artifacts (newest round) win.
+    arts = sorted(REPO.glob("BENCH_r*.json")) or sorted(
+        REPO.glob("artifacts/BENCH_r*.pinned.json"))
+    assert arts, "no BENCH_r*.json artifact (or pinned snapshot) found"
     for p in reversed(arts):
         data = json.loads(p.read_text())
         if data.get("rc") == 0 and data.get("parsed"):

@@ -81,7 +81,7 @@ def stage_report(img: np.ndarray, cfg: EncoderConfig,
     coeffs = f_px(imgd)
 
     if jax.default_backend() == "tpu" and cfg.device_bitpack:
-        from jpegtpu.kernels import entropy_pack
+        from jpegtpu.kernels import compact, entropy_pack
         n_mcu, b, _ = coeffs.shape
 
         mcu_chunks, _ = entropy_pack.mcu_capacity(b, DEFAULT_BITS_BUDGET)
@@ -105,7 +105,7 @@ def stage_report(img: np.ndarray, cfg: EncoderConfig,
         out["seg_merge"] = _sync_time(f_merge, mwords, mlens, iters=iters)
         sw, sb = f_merge(mwords, mlens)
         fps = sw.shape[1] // 1024
-        f_cp = jax.jit(lambda w, bts: entropy_pack.compact_segments(
+        f_cp = jax.jit(lambda w, bts: compact.compact_segments(
             w, bts, fps))
         out["compact"] = _sync_time(f_cp, sw, sb, iters=iters)
     else:

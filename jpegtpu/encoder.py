@@ -155,7 +155,7 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
     + the max per-MCU bit count (host escalation check, see mcu_capacity).
     With device_stuff, the stream is the COMPLETE stuffed scan with RST
     markers and a total-byte count is appended to the return."""
-    from jpegtpu.kernels import entropy_pack
+    from jpegtpu.kernels import compact, entropy_pack
     n_luma = _n_luma(subsampling)
     fused_bp = _fused_bp_or_none(img, quality, subsampling, restart,
                                  bits_budget, use_fused, fuse_bp)
@@ -248,11 +248,11 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
     # host link (which can be slow — e.g. a tunneled chip).
     frames_per_seg = seg_words.shape[1] // 1024
     if device_stuff:
-        stream, _, total = entropy_pack.compact_segments_stuffed(
+        stream, _, total = compact.compact_segments_stuffed(
             seg_words, seg_bits, frames_per_seg, restart,
             k_chunks=compact_kb)
         return stream, seg_bits, max_mcu_bits, total
-    stream = entropy_pack.compact_segments(seg_words, seg_bits,
+    stream = compact.compact_segments(seg_words, seg_bits,
                                            frames_per_seg)
     return stream, seg_bits, max_mcu_bits
 
@@ -271,7 +271,7 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
     image boundaries coincide with segment starts, so DC-predictor resets
     and segment packing need no per-image special casing.
     """
-    from jpegtpu.kernels import entropy_pack
+    from jpegtpu.kernels import compact, entropy_pack
     n_luma = _n_luma(subsampling)
     fused_bp = _fused_bp_or_none(imgs, quality, subsampling, restart,
                                  bits_budget, use_fused, fuse_bp)
@@ -322,13 +322,13 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
             mwords, mlens, bsz * n_seg, mcus_per_seg, w_cap)
     frames_per_seg = seg_words.shape[1] // 1024
     if device_stuff:
-        stream, img_off, total = entropy_pack.compact_segments_stuffed(
+        stream, img_off, total = compact.compact_segments_stuffed(
             seg_words, seg_bits, frames_per_seg, restart,
             segs_per_image=n_seg, mnum=marker_nums,
             full_offsets=marker_nums is not None, k_chunks=compact_kb)
         return (stream, seg_bits.reshape(bsz, n_seg), max_mcu_bits,
                 img_off, total)
-    stream = entropy_pack.compact_segments(seg_words, seg_bits,
+    stream = compact.compact_segments(seg_words, seg_bits,
                                            frames_per_seg)
     return stream, seg_bits.reshape(bsz, n_seg), max_mcu_bits
 

@@ -25,7 +25,7 @@ def main():
 
     from jpegtpu import encoder as enc_mod
     from jpegtpu.config import EncoderConfig
-    import jpegtpu.kernels.entropy_pack as ep
+    import jpegtpu.kernels.compact as cp
 
     h, w = 2160, 3840
     rng = np.random.default_rng(0)
@@ -42,7 +42,7 @@ def main():
     fns = {}
     ref = None
     for kb in (1, 3, 4, 6):
-        ep._COMPACT_KB = kb
+        cp._COMPACT_KB = kb
         enc_mod._jitted_encode.cache_clear()
         fn, _, _ = enc_mod._jitted_encode((h, w), cfg)
         out = fn(imgd)
@@ -56,7 +56,7 @@ def main():
                 f"kb={kb} IN-CONTEXT MISMATCH — do not ship"
         fns[kb] = fn
         log(f"kb={kb} warm, scan identical ({total} B)")
-    ep._COMPACT_KB = 1
+    cp._COMPACT_KB = 1
     enc_mod._jitted_encode.cache_clear()
 
     def chain(fn, k):

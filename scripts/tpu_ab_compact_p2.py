@@ -25,6 +25,7 @@ def main():
 
     from jpegtpu import encoder as enc_mod
     from jpegtpu.config import EncoderConfig
+    import jpegtpu.kernels.compact as cp
     import jpegtpu.kernels.entropy_pack as ep
 
     h, w = 2160, 3840
@@ -42,14 +43,14 @@ def main():
     fns = {}
     outs = {}
     for name, flag in (("p2-skip", True), ("baseline", False)):
-        ep._COMPACT_SKIP_P2 = flag
+        cp._COMPACT_SKIP_P2 = flag
         enc_mod._jitted_encode.cache_clear()
         fn, _, _ = enc_mod._jitted_encode((h, w), cfg)
         outs[name] = fn(imgd)
         float(probe(outs[name]))
         fns[name] = fn
         log(f"{name} warm")
-    ep._COMPACT_SKIP_P2 = True
+    cp._COMPACT_SKIP_P2 = True
     enc_mod._jitted_encode.cache_clear()
 
     # Compare the VALID scan prefix only: bytes past `total` are never

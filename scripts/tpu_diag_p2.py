@@ -29,6 +29,7 @@ def main():
 
     from jpegtpu import encoder as enc_mod
     from jpegtpu.config import EncoderConfig
+    import jpegtpu.kernels.compact as cp
     import jpegtpu.kernels.entropy_pack as ep
 
     h, w = 2160, 3840
@@ -43,7 +44,7 @@ def main():
 
     res = {}
     for name, flag in (("p2-skip", True), ("baseline", False)):
-        ep._COMPACT_SKIP_P2 = flag
+        cp._COMPACT_SKIP_P2 = flag
         enc_mod._jitted_encode.cache_clear()
         fn, _, _ = enc_mod._jitted_encode((h, w), cfg)
         out = fn(imgd)
@@ -51,7 +52,7 @@ def main():
         total = int(np.asarray(out[3]))
         res[name] = (stream, total)
         log(f"{name}: total={total} buf={stream.shape[0]}")
-    ep._COMPACT_SKIP_P2 = True
+    cp._COMPACT_SKIP_P2 = True
     enc_mod._jitted_encode.cache_clear()
 
     (sa, ta), (sb, tb) = res["p2-skip"], res["baseline"]

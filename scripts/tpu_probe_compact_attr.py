@@ -30,6 +30,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from jpegtpu.entropy import scan
+    from jpegtpu.kernels import compact as cp
     from jpegtpu.kernels import entropy_pack as ep
     from jpegtpu.kernels import fused_dctq
     log(f"backend {jax.default_backend()}")
@@ -63,7 +64,7 @@ def main():
     log(f"real: {t0 * 1e3:.2f} ms ({t0 * 1e9 / nch:.0f} ns/chunk)")
 
     def run_variant(mode):
-        ep._COMPACT_ATTR_MODE = mode
+        cp._COMPACT_ATTR_MODE = mode
         try:
             f = jax.jit(lambda a, bb: ep.compact_segments_stuffed(
                 a, bb, fps, restart))
@@ -73,7 +74,7 @@ def main():
         except Exception as e:
             log(f"{mode}: FAILED {type(e).__name__}: {str(e)[:150]}")
         finally:
-            ep._COMPACT_ATTR_MODE = None
+            cp._COMPACT_ATTR_MODE = None
 
     for mode in ("norank", "noplace", "noexp"):
         run_variant(mode)

@@ -32,7 +32,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from jpegtpu.kernels.entropy_pack import _cumlog, _interpret
+from jpegtpu.kernels import entropy_pack as _ep
+from jpegtpu.kernels.entropy_pack import _cumlog
+
+
+def _interpret() -> bool:
+    """Resolve through the entropy_pack facade at CALL time so tests
+    that monkeypatch entropy_pack._interpret govern this module too."""
+    return _ep._interpret()
 
 def _compact_kernel(bits_ref, frames_ref, out_ref, chunk_ref, flush_ref,
                     sem_in, sem_out, *, n_seg: int, f_per_seg: int):

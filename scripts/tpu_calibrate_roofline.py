@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Measured machine rates for docs/ROOFLINE.md (v5e, one chip).
+
+Microbenches (standalone Pallas kernels, amortized chained timing):
+  hbm    streaming copy bandwidth (read+write, GB/s)
+  vpu    elementwise i32 op rate on [512,128] tiles (independent ops)
+  roll   pltpu.roll lane-rotate rate (the cummax/merge primitive)
+  gather take_along_axis lane-gather rate (the rank/psat/LUT primitive)
+  mxu    128x128 f32 HIGHEST matmul rate (the prefix-sum primitive)
+
+Each prints ns per [512,128] pass (= 64 (8,128) vregs) so the roofline's
+"op passes x rate" arithmetic can be checked by a reviewer directly.
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from tpu_stages_common import log, sync_time  # noqa: E402
+
+T = 512
+GRID = 64
+REPS = 48
+
+
+def _bench(kern_body, n_in=1, dtype=None, reps=REPS, label=""):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    dtype = dtype or jnp.int32
+
+    def kern(*refs):
+        xs = [r[...] for r in refs[:-1]]
+        refs[-1][...] = kern_body(*xs)
+
+    f = jax.jit(pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec((T, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * n_in,
+        out_specs=pl.BlockSpec((T, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((GRID * T, 128), dtype),
+        grid=(GRID,),
+    ))
+    rng = np.random.default_rng(0)
+    if dtype == jnp.float32:
+        args = [jnp.asarray(rng.normal(0, 1, (GRID * T, 128))
+                            .astype(np.float32)) for _ in range(n_in)]
+    else:
+        args = [jnp.asarray(rng.integers(0, 1 << 20, (GRID * T, 128),
+                                         np.int32)) for _ in range(n_in)]
+    dt = sync_time(f, *args)
+    per = dt / (GRID * reps)
+    log(f"{label}: {dt * 1e3:.3f} ms total, {per * 1e9:.1f} ns per "
+        f"[{T},128] pass ({per * 1e9 / (T // 8):.2f} ns/vreg)")
+    return per
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"backend {jax.default_backend()}")
+
+    # --- HBM streaming bandwidth (read + write) ---
+    nwords = 32 * (1 << 20)                       # 128 MB in, 128 MB out
+    def copy_kern(x_ref, o_ref):
+        o_ref[...] = x_ref[...] + 1
+
+    fcp = jax.jit(pl.pallas_call(
+        copy_kern,
+        in_specs=[pl.BlockSpec((512, 1024), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((512, 1024), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nwords // 1024, 1024), jnp.int32),
+        grid=(nwords // 1024 // 512,),
+    ))
+    x = jnp.zeros((nwords // 1024, 1024), jnp.int32)
+    dt = sync_time(fcp, x)
+    gbs = 2 * nwords * 4 / dt / 1e9
+    log(f"hbm: {dt * 1e3:.3f} ms for 128 MB r + 128 MB w -> "
+        f"{gbs:.0f} GB/s")
+
+    # --- VPU elementwise i32 (two independent chains) ---
+    def vpu_body(x):
+        a = x
+        b = x ^ 1
+        for r in range(REPS // 2):
+            a = a + x
+            b = b ^ x
+        return a + b
+    _bench(vpu_body, label=f"vpu i32 ({REPS} ops)")
+
+    # --- pltpu.roll ---
+    def roll_body(x):
+        a = x
+        for r in range(REPS):
+            a = a + pltpu.roll(x, (r % 63) + 1, axis=1)  # independent rolls
+        return a
+    _bench(roll_body, label=f"roll+add ({REPS} roll+add pairs)")
+
+    # --- lane gather (independent) ---
+    def gather_body(x, idx):
+        a = jnp.zeros_like(x)
+        for r in range(REPS):
+            a = a + jnp.take_along_axis(x, (idx + r) & 127, axis=1)
+        return a
+    import jax.numpy as jnp  # noqa: F811
+    _bench(gather_body, n_in=2, label=f"gather+add ({REPS} passes)")
+
+    # --- MXU f32 HIGHEST [512,128]@[128,128] ---
+    def mxu_body(x, m):
+        a = jnp.zeros_like(x)
+        for r in range(REPS // 4):
+            a = a + jax.lax.dot_general(
+                x + r, m, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)  # independent matmuls
+        return a
+    _bench(mxu_body, n_in=2, dtype=jnp.float32, reps=REPS // 4,
+           label=f"mxu f32 HIGHEST ({REPS // 4} matmuls)")
+    log("DONE")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

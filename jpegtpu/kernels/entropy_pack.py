@@ -70,6 +70,16 @@ _TILE = 512  # MCU rows per grid step in kernel B / block_pack_mcu
 #   "staticchain"    break _merge_pairs' serial off-chain (static offsets)
 _BP_ATTR_MODE = None
 
+# Round-4 gather-cut candidates in _place_pair (byte-identical by
+# construction, interpret-tested; DEFAULT OFF until the HW in-context
+# byte gate passes — scripts/tpu_ab_bp_place.py — because int32 vector
+# variants of this kernel have miscompiled in-context before):
+#   _BP_PLACE_PACKED  pack both 16-bit prefix planes mod 2^16 into one
+#                     i32 -> 1 ps_at gather per place call instead of 2
+#   _BP_RANK6         6-probe rank search + broadcast count==64 fix-up
+_BP_PLACE_PACKED = os.environ.get("JPEGTPU_BP_PLACE_PACKED", "0") != "0"
+_BP_RANK6 = os.environ.get("JPEGTPU_BP_RANK6", "0") != "0"
+
 
 def _interpret() -> bool:
     """Pallas interpreter mode off-TPU (tests on the CPU backend)."""
@@ -278,10 +288,24 @@ def _place_pair(v_hi, v_lo, wt, k, half):
     base = half * 64                                    # gather offset
 
     # count[., w] = #slots with wt <= w, via branchless binary search.
-    # Steps start at 64 so the count can reach all 64 slots; probes clamp.
     if _BP_ATTR_MODE == "norank":                       # timing only
         pos = jnp.minimum(k + 1, 64)
+    elif _BP_RANK6:
+        # 6-probe variant (candidate, HW gate pending): search [0,63]
+        # (steps sum to 63, probe index cand-1 <= 62 needs no clamp) and
+        # resolve count==64 with a broadcast compare against each half's
+        # LAST target — wt is per-half sorted, so count==64 iff
+        # wt[63] <= w. One gather pass cheaper than the 7-step form.
+        full = jnp.where(half == 0, wt[:, 63:64], wt[:, 127:128]) <= k
+        pos = jnp.zeros((t, 128), jnp.int32)
+        for step in (32, 16, 8, 4, 2, 1):
+            cand = pos + step
+            probe = jnp.take_along_axis(wt, cand - 1 + base, axis=1)
+            pos = jnp.where(probe <= k, cand, pos)
+        pos = jnp.where(full, 64, pos)
     else:
+        # Steps start at 64 so the count can reach all 64 slots; probes
+        # clamp.
         pos = jnp.zeros((t, 128), jnp.int32)
         for step in (64, 32, 16, 8, 4, 2, 1):
             cand = pos + step
@@ -315,6 +339,32 @@ def _place_pair(v_hi, v_lo, wt, k, half):
         bd = _halfprefix_tril()
         psh = _prefix64_mm(vh, bd)
         psl = _prefix64_mm(vl, bd)
+
+        if _BP_PLACE_PACKED and _BP_ATTR_MODE != "nopsat":
+            # Packed-plane variant (candidate, HW gate pending): the
+            # per-word plane DIFFS are exact 16-bit values (bits within
+            # one output word are disjoint, so each plane's sum over a
+            # rank range <= 0xFFFF), so prefix sums mod 2^16 suffice —
+            # pack both planes into one i32 and gather ONCE per place
+            # call instead of once per plane. Mod-2^16 subtraction of
+            # mod-2^16 prefix reductions is exact for in-range diffs.
+            # CAUTION: int32 vector math in this kernel has a miscompile
+            # history in-context (module docstring / place() note) —
+            # default off until scripts/tpu_ab_bp_place.py byte-gates it.
+            ph = psh.astype(jnp.int32)
+            plo = psl.astype(jnp.int32)
+            packed = jnp.left_shift(ph, 16) | (plo & 0xFFFF)
+            g = jnp.take_along_axis(packed,
+                                    jnp.maximum(pos_v - 1, 0) + base,
+                                    axis=1)
+            g = jnp.where(pos_v > 0, g, 0)
+            prev = jnp.where(k == 0, 0, pltpu.roll(g, 1, axis=1))
+            gu = pltpu.bitcast(g, jnp.uint32)
+            pu = pltpu.bitcast(prev, jnp.uint32)
+            dh = (jnp.right_shift(gu, 16) - jnp.right_shift(pu, 16)) \
+                & 0xFFFF
+            dl = ((gu & 0xFFFF) - (pu & 0xFFFF)) & 0xFFFF
+            return jnp.left_shift(dh, 16) | dl
         return jnp.left_shift(ps_at(psh), 16) | ps_at(psl)
 
     return place(v_hi, pos) + place(v_lo, pos_lo)

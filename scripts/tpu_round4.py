@@ -106,6 +106,7 @@ def main():
          True),
         ("probe-bp-floor", ["scripts/tpu_probe_bp_floor.py"], 1800,
          False),
+        ("ab-bp-place", ["scripts/tpu_ab_bp_place.py"], 1800, False),
         ("calibrate-roofline", ["scripts/tpu_calibrate_roofline.py"],
          1200, False),
         ("bench", ["bench.py"], 3600, False),

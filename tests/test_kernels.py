@@ -1140,3 +1140,32 @@ def test_encoder_mcu_grouping_byte_parity(sub, shape, want_gm, monkeypatch):
     finally:
         enc_mod._jitted_encode.cache_clear()
     assert pallas_bytes == xla_bytes
+
+
+@pytest.mark.parametrize("packed,rank6", [(True, False), (False, True),
+                                          (True, True)])
+@pytest.mark.parametrize("seed", [0, 3])
+def test_block_pack_place_variants_bit_identical(packed, rank6, seed):
+    """Round-4 gather-cut candidates in _place_pair (_BP_PLACE_PACKED:
+    one packed-plane ps_at gather; _BP_RANK6: 6-probe rank search +
+    count==64 broadcast fix-up) must be bit-identical to the production
+    form on dense, sparse, zero and max-magnitude blocks."""
+    rng = np.random.default_rng(seed)
+    c2 = jnp.asarray(np.concatenate([
+        rng.integers(-1023, 1024, (8, 6 * 64), np.int32),
+        (rng.random((24, 6 * 64)) < 0.06).astype(np.int32) *
+        rng.integers(-2047, 2048, (24, 6 * 64)),
+        np.full((4, 6 * 64), -2047, np.int32),
+        np.zeros((8, 6 * 64), np.int32)]))
+    n = c2.shape[0]
+    cls = jnp.asarray((np.arange(n * 6) % 6 >= 4).astype(np.int32))
+    dcd = jnp.asarray(rng.integers(-2047, 2048, n * 6, np.int32))
+    ref_w, ref_l = ep.block_pack_mcu_pairs(c2, cls, dcd, 6, 1, n_luma=4)
+    old = ep._BP_PLACE_PACKED, ep._BP_RANK6
+    try:
+        ep._BP_PLACE_PACKED, ep._BP_RANK6 = packed, rank6
+        w, l = ep.block_pack_mcu_pairs(c2, cls, dcd, 6, 1, n_luma=4)
+    finally:
+        ep._BP_PLACE_PACKED, ep._BP_RANK6 = old
+    assert np.array_equal(np.asarray(w), np.asarray(ref_w))
+    assert np.array_equal(np.asarray(l), np.asarray(ref_l))

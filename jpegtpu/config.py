@@ -82,6 +82,16 @@ class EncoderConfig:
     bp_merge_rot: bool = dataclasses.field(
         default_factory=lambda: os.environ.get(
             "JPEGTPU_BP_MERGE_ROT", "0") != "0")
+    # Independent serial chains in the device stuffing kernel (round-4
+    # candidate): segments split into `compact_groups` contiguous groups,
+    # each compacted by its own register-window chain into its own
+    # frame-aligned output region (kernels/compact.py:
+    # _compact_stuff_kernel_gkb); the host stitches the exact-size spans.
+    # 1 = the single-chain kernel. Effective on the single-image
+    # device_stuff path; capped at n_seg.
+    compact_groups: int = dataclasses.field(
+        default_factory=lambda: int(os.environ.get(
+            "JPEGTPU_COMPACT_GROUPS", "1")))
     # First-pass per-block bit budget for device stream buffers
     # (0 = DEFAULT_BITS_BUDGET). Undersized budgets are detected on device
     # and escalated to the worst case by the host, on every path
@@ -107,6 +117,10 @@ class EncoderConfig:
         if not (1 <= self.compact_kb <= 6):
             raise ValueError(
                 f"compact_kb must be in 1..6, got {self.compact_kb}")
+        if not (1 <= self.compact_groups <= 64):
+            raise ValueError(
+                f"compact_groups must be in 1..64, got "
+                f"{self.compact_groups}")
         if self.bits_budget < 0:
             raise ValueError(
                 f"bits_budget must be >= 0, got {self.bits_budget}")

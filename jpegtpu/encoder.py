@@ -150,7 +150,8 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
                           mcus_per_seg, bits_budget, use_fused,
                           device_stuff=False, pixel_path="nat",
                           fuse_bp=False, compact_kb=None,
-                          bp_merge_rot=None, mcu_group=1):
+                          bp_merge_rot=None, mcu_group=1,
+                          compact_groups=1):
     """Pallas device program -> compacted stream + per-segment bit counts
     + the max per-MCU bit count (host escalation check, see mcu_capacity).
     With device_stuff, the stream is the COMPLETE stuffed scan with RST
@@ -248,6 +249,15 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
     # host link (which can be slow — e.g. a tunneled chip).
     frames_per_seg = seg_words.shape[1] // 1024
     if device_stuff:
+        gs = min(compact_groups, n_seg)
+        if gs > 1:
+            # Grouped chains: 2D stream, one frame-aligned region per
+            # chain; the host stitches the exact-size spans (group_lens).
+            stream2d, group_lens, _, total = \
+                compact.compact_segments_stuffed_grouped(
+                    seg_words, seg_bits, frames_per_seg, restart, gs,
+                    k_chunks=compact_kb)
+            return stream2d, seg_bits, max_mcu_bits, total, group_lens
         stream, _, total = compact.compact_segments_stuffed(
             seg_words, seg_bits, frames_per_seg, restart,
             k_chunks=compact_kb)
@@ -420,7 +430,8 @@ def _jitted_encode(shape: Tuple[int, int], cfg: EncoderConfig,
             use_fused=cfg.use_pallas, device_stuff=cfg.device_stuff,
             pixel_path=cfg.pixel_path, fuse_bp=cfg.fuse_bp,
             compact_kb=cfg.compact_kb, bp_merge_rot=cfg.bp_merge_rot,
-            mcu_group=_entropy_mcu_group(shape, cfg, bits_budget))
+            mcu_group=_entropy_mcu_group(shape, cfg, bits_budget),
+            compact_groups=cfg.compact_groups)
         return jax.jit(fn), restart, ("scan" if cfg.device_stuff
                                       else "stream")
     fn = functools.partial(
@@ -444,9 +455,13 @@ class Encoder:
             stream, seg_bits, max_mcu = out[:3]
             seg_bits_np = np.asarray(seg_bits)     # tiny fetch, also syncs
             n_seg = seg_bits.shape[0]
-            frames = stream.shape[0] // n_seg // 1024
-            if kind == "scan":                     # stuffed out is 2x+slack
+            if stream.ndim == 2:                   # grouped chains (gscan)
+                spg = -(-n_seg // stream.shape[0])
+                frames = (stream.shape[1] // 1024 - 2) // (2 * spg)
+            elif kind == "scan":                   # stuffed out is 2x+slack
                 frames = (stream.shape[0] // 1024 - 1) // (2 * n_seg)
+            else:
+                frames = stream.shape[0] // n_seg // 1024
             cap_bits = (frames - 1) * 1024 * 32    # last frame is slack
             gm = _entropy_mcu_group((h, w), self.config)
             if _budget_overflow(seg_bits_np, int(np.asarray(max_mcu)),
@@ -458,6 +473,9 @@ class Encoder:
                 out = fn(jnp.asarray(img))
                 stream, seg_bits = out[0], out[1]
                 seg_bits_np = np.asarray(seg_bits)
+            if kind == "scan" and stream.ndim == 2:
+                return ("gscan", (stream, np.asarray(out[4])),
+                        int(np.asarray(out[3])), restart)
             if kind == "scan":
                 return ("scan", stream, int(np.asarray(out[3])), restart)
             return ("stream", stream, seg_bits_np, restart)
@@ -490,6 +508,22 @@ class Encoder:
                 payload.shape[0])
             raw = np.asarray(payload[:n_fetch])
             scan_bytes = raw.view(np.uint8)[:total].tobytes()
+        elif kind == "gscan":
+            # Grouped chains: stitch each chain's exact-size span (the
+            # scan is their concatenation; lengths are device scalars).
+            stream2d, glens = payload
+            parts = []
+            for g in range(stream2d.shape[0]):
+                nb = int(glens[g])
+                if nb == 0:
+                    continue
+                n_words = -(-nb // 4)
+                n_fetch = min(
+                    -(-n_words // self._FETCH_GRANULE) *
+                    self._FETCH_GRANULE, stream2d.shape[1])
+                raw = np.asarray(stream2d[g, :n_fetch])
+                parts.append(raw.view(np.uint8)[:nb].tobytes())
+            scan_bytes = b"".join(parts)
         elif kind == "stream":
             nbytes = (meta.astype(np.int64) + 7) // 8
             total = int(nbytes.sum())

@@ -919,3 +919,404 @@ def compact_segments_stuffed(seg_words: jax.Array, seg_bits: jax.Array,
       seg_words.reshape(n_seg, f, 8, 128))
     return out.reshape(-1), img_off, total
 
+
+def _compact_stuff_kernel_gkb(off_ref, slen_ref, innb_ref, send_ref,
+                              mnum_ref, gtot_ref, njmax_ref, sseg_ref,
+                              sj_ref, slast_ref, svalid_ref, frames_ref,
+                              out_ref, chunk_ref, flush_ref, sem_in,
+                              sem_out, *, n_seg: int, f_per_seg: int,
+                              f_pad: int, capf: int, kb: int, gs: int,
+                              imax: int):
+    """_compact_stuff_kernel_kb with gs INDEPENDENT segment-group chains.
+
+    Motivation: after kb=3 the loop is still serial across all segments
+    — one register-window dependency chain end to end. kb=4/6 lost
+    because batching MORE chunks of the SAME chain needs a 16-frame
+    window (docstring above). Groups batch on the other axis: gs chains
+    over DISJOINT segment ranges, each with its OWN 8-frame window and
+    its OWN frame-aligned output region out_ref[g] — so windows never
+    grow and chains never interact. The host stitches the gs exact-size
+    spans (byte lengths are XLA-precomputed scalars) during assembly it
+    already does. Output bytes per group are identical to the
+    single-chain kernel's corresponding span by construction.
+
+    The flat iteration schedule replaces the seg/chunk nested walk: at
+    iteration i, chain g processes chunk-group sj[g,i] of segment
+    sseg[g,i] (schedule precomputed in XLA from the chunk counts;
+    svalid masks tail iterations of shorter chains into exact no-ops,
+    cursor == group end so no flush fires). A chain's trailing RST
+    marker splice is folded into its segment's LAST iteration
+    (slast[g,i]) and covered by the same flush span.
+
+    All per-iteration vector work is stacked on sublanes ([gs*kb*8,
+    128]) like the kb batching; only window placement and flushing are
+    per-group (their per-row loops address each group's own [64, 128]
+    window and DMA slots)."""
+    assert kb <= 3, "grouped kernel uses the 8-frame window (kb <= 3)"
+    k8 = kb * 8
+    gk8 = gs * k8
+    lane = jax.lax.broadcasted_iota(jnp.int32, (gk8, 128), 1)
+    lanek = jax.lax.broadcasted_iota(jnp.int32, (k8, 128), 1)
+    suk = jax.lax.broadcasted_iota(jnp.int32, (gk8, 1), 0)
+    suw = jax.lax.broadcasted_iota(jnp.int32, (64, 1), 0)
+    lanew = jax.lax.broadcasted_iota(jnp.int32, (64, 128), 1)
+    gw = (suk & 7) * 128 + lane               # word index within chunk
+
+    def bswap(w):
+        return (jnp.right_shift(w, 24) |
+                (jnp.right_shift(w, 8) & jnp.uint32(0xFF00)) |
+                (jnp.left_shift(w & jnp.uint32(0xFF00), 8)) |
+                jnp.left_shift(w, 24))
+
+    def place_rows_g(win, planes, t_vec):
+        """OR row r of planes [k8,128] into group window win [64,128]
+        at absolute (group-local) out word t_vec[r] ([k8,1])."""
+        m = t_vec & 127
+        idx = (lanek - m) & 127
+        rot = pltpu.bitcast(
+            jnp.take_along_axis(pltpu.bitcast(planes, jnp.int32), idx,
+                                axis=1), jnp.uint32)
+        hi = jnp.where(lanek >= m, rot, 0)
+        lo = jnp.where(lanek < m, rot, 0)
+        wr = (t_vec >> 7) & 63
+        for r in range(k8):
+            win = win | jnp.where(suw == wr[r:r + 1], hi[r:r + 1, :], 0)
+            win = win | jnp.where(suw == ((wr[r:r + 1] + 1) & 63),
+                                  lo[r:r + 1, :], 0)
+        return win
+
+    def _out_copy(g, fi):
+        return pltpu.make_async_copy(
+            flush_ref.at[g, fi & 1],
+            out_ref.at[g, jnp.minimum(fi, capf - 1)],
+            sem_out.at[g, fi & 1])
+
+    def flush_frame_g(g, win, fi):
+        @pl.when(fi >= 2)
+        def _():
+            _out_copy(g, fi - 2).wait()
+        for par in range(8):
+            @pl.when((fi & 7) == par)
+            def _(par=par):
+                flush_ref[g, par & 1] = bswap(win[par * 8:(par + 1) * 8, :])
+        _out_copy(g, fi).start()
+
+    def flush_and_zero_g(g, win, cur, end):
+        win0 = win
+        f0 = cur >> 12
+        f1 = end >> 12
+        for t in range(2 * kb + 1):
+            fi = f0 + t
+
+            @pl.when(fi < f1)
+            def _(fi=fi):
+                flush_frame_g(g, win0, fi)
+            zmask = (fi < f1) & ((suw >> 3) == (fi & 7))
+            win = jnp.where(zmask, 0, win)
+        return win
+
+    def _sched(g, i):
+        b = g * imax + i
+        return (sseg_ref[0, b, 0], sj_ref[0, b, 0],
+                slast_ref[0, b, 0], svalid_ref[0, b, 0])
+
+    def _in_copy(g, i, slot, k):
+        seg, j, _, _ = _sched(g, i)
+        idx = jnp.minimum(j * kb + k, f_per_seg - 1)   # clamped: padded
+        return pltpu.make_async_copy(frames_ref.at[seg, idx],
+                                     chunk_ref.at[slot, g, k],
+                                     sem_in.at[slot, g, k])
+
+    def iter_body(i, wins):
+        slot = i & 1
+        nj = njmax_ref[0, 0, 0]
+        for g in range(gs):
+            for k in range(kb):
+                _in_copy(g, i, slot, k).wait()
+
+        @pl.when(i + 1 < nj)
+        def _():
+            for g in range(gs):
+                for k in range(kb):
+                    _in_copy(g, i + 1, 1 - slot, k).start()
+        ch = chunk_ref[slot].reshape(gk8, 128)
+
+        curs, rems, slens, segs, lasts, vals = [], [], [], [], [], []
+        for g in range(gs):
+            seg, j, lastf, val = _sched(g, i)
+            base = seg * f_pad + j * kb
+            gend = gtot_ref[0, g, 0]
+            for k in range(kb):
+                curs.append(jnp.where(val > 0, off_ref[0, base + k, 0],
+                                      gend))
+                rems.append(jnp.where(val > 0, innb_ref[0, base + k, 0],
+                                      0))
+                slens.append(jnp.where(val > 0, slen_ref[0, base + k, 0],
+                                       0))
+            segs.append(seg)
+            lasts.append(lastf)
+            vals.append(val)
+
+        def vec(vals_):
+            cid = suk >> 3
+            acc = jnp.full((gk8, 1), vals_[0], jnp.int32)
+            for c in range(1, gs * kb):
+                acc = jnp.where(cid == c, vals_[c], acc)
+            return acc
+
+        cur_v = vec(curs)
+        rem_v = vec(rems)
+
+        b = [jnp.right_shift(ch, sh) & 0xFF for sh in (24, 16, 8, 0)]
+        valid = [((4 * gw + k) < rem_v) for k in range(4)]
+        f = [(b[k] == 0xFF) & valid[k] for k in range(4)]
+        e = [jnp.where(valid[k], 1 + f[k].astype(jnp.int32), 0)
+             for k in range(4)]
+        p1 = e[0]
+        p2 = p1 + e[1]
+        p3 = p2 + e[2]
+        wexp = p3 + e[3]
+
+        def at_pos(bk, vk, pk):
+            lo_sh = ((3 - pk) & 3) * 8
+            hi_sh = ((7 - pk) & 3) * 8
+            v0c = jnp.where(vk & (pk <= 3),
+                            jnp.left_shift(bk, lo_sh.astype(jnp.uint32)), 0)
+            v1c = jnp.where(vk & (pk >= 4),
+                            jnp.left_shift(bk, hi_sh.astype(jnp.uint32)), 0)
+            return v0c, v1c
+
+        v0 = jnp.where(valid[0], jnp.left_shift(b[0], 24), jnp.uint32(0))
+        v1 = jnp.zeros((gk8, 128), jnp.uint32)
+        for k, pk in ((1, p1), (2, p2), (3, p3)):
+            c0, c1 = at_pos(b[k], valid[k], pk)
+            v0 = v0 | c0
+            v1 = v1 | c1
+
+        incl = _cumlog(wexp, jnp.add, 0, axis=1)
+        row_tot = incl[:, 127:128]
+        # Group-masked sublane prefix: accumulation confined to each
+        # 8-row chunk band (bands never span chains).
+        x = row_tot
+        step = 1
+        while step < 8:
+            ok = (suk >= step) & ((suk >> 3) == ((suk - step) >> 3))
+            x = x + jnp.where(ok, pltpu.roll(x, step, axis=0), 0)
+            step *= 2
+        row_base = x - row_tot
+        o_glob = cur_v + row_base + incl - wexp      # [gk8,128] out byte
+        phi = ((o_glob & 3) * 8).astype(jnp.uint32)
+        t_abs = o_glob >> 2
+        w0 = jnp.right_shift(v0, phi)
+        w1 = (jnp.left_shift(jnp.left_shift(v0, 1), (31 - phi) & 31) |
+              jnp.right_shift(v1, phi))
+        w2 = jnp.left_shift(jnp.left_shift(v1, 1), (31 - phi) & 31)
+        t_base = (cur_v + row_base) >> 2             # [gk8,1]
+        t_rel = t_abs - t_base                       # in [0, 258]
+        t_rel = jnp.where(wexp > 0, t_rel, jnp.int32(1 << 14))
+
+        def rank_at(q):
+            pos = jnp.zeros((gk8, 128), jnp.int32)
+            for step in (128, 64, 32, 16, 8, 4, 2, 1):
+                cand = pos + step
+                probe = jnp.take_along_axis(
+                    t_rel, jnp.minimum(cand, 128) - 1, axis=1)
+                pos = jnp.where((cand <= 128) & (probe <= q), cand, pos)
+            return pos
+
+        def val_at(vals_, jj, eq_q):
+            jc = jnp.maximum(jj, 0)
+            t = jnp.take_along_axis(t_rel, jc, axis=1)
+            v = pltpu.bitcast(
+                jnp.take_along_axis(pltpu.bitcast(vals_, jnp.int32), jc,
+                                    axis=1), jnp.uint32)
+            return jnp.where((jj >= 0) & (t == eq_q), v, 0)
+
+        def build_plane(p, prev_r):
+            q = lane + 128 * p
+            r0 = rank_at(q)
+            r1 = jnp.where(lane == 0, prev_r[0],
+                           pltpu.roll(r0, 1, axis=1))
+            r2 = jnp.where(lane == 0, prev_r[1],
+                           jnp.where(lane == 1, prev_r[0],
+                                     pltpu.roll(r0, 2, axis=1)))
+            outp = (val_at(w0, r0 - 1, q) |
+                    val_at(w1, r1 - 1, q - 1) |
+                    val_at(w2, r2 - 1, q - 2))
+            tail = [
+                jnp.take_along_axis(r0, jnp.full_like(lane, 127 - k),
+                                    axis=1)[:, 0:1]
+                for k in range(2)]
+            return outp, tail
+
+        prev_r = [jnp.zeros((gk8, 1), jnp.int32)] * 2
+        planes = []
+        for p in range(3):
+            outp, prev_r = build_plane(p, prev_r)
+            planes.append(outp)
+
+        new_wins = []
+        for g in range(gs):
+            win = wins[g]
+            rows = slice(g * k8, (g + 1) * k8)
+            for p in range(3):
+                win = place_rows_g(win, planes[p][rows, :],
+                                   t_base[rows, :] + 128 * p)
+            # trailing RST marker, folded into the segment's last
+            # iteration (masked to zero otherwise)
+            seg = segs[g]
+            send = send_ref[0, seg, 0]
+            mnum = mnum_ref[0, seg, 0]
+            do_mark = (lasts[g] > 0) & (vals[g] > 0) & (mnum > 0)
+            mk = jnp.where(do_mark, jnp.uint32(0xFFFFFFFF),
+                           jnp.uint32(0))
+            m32 = (jnp.uint32(0xFF000000) |
+                   jnp.left_shift(mnum.astype(jnp.uint32), 16)) & mk
+            mphi = ((send & 3) * 8).astype(jnp.uint32)
+            mw0 = jnp.right_shift(m32, mphi)
+            mw1 = jnp.left_shift(jnp.left_shift(m32, 1), (31 - mphi) & 31)
+            for val_, t in ((mw0, send >> 2), (mw1, (send >> 2) + 1)):
+                win = win | jnp.where((suw == ((t >> 7) & 63)) &
+                                      (lanew == (t & 127)), val_, 0)
+            end = (curs[g * kb + kb - 1] + slens[g * kb + kb - 1] +
+                   jnp.where(do_mark, 2, 0))
+            win = flush_and_zero_g(g, win, curs[g * kb], end)
+            new_wins.append(win)
+        return tuple(new_wins)
+
+    zero_wins = tuple(jnp.zeros((64, 128), jnp.uint32) for _ in range(gs))
+    njmax = njmax_ref[0, 0, 0]
+
+    @pl.when(njmax > 0)
+    def _():
+        for g in range(gs):
+            for k in range(kb):
+                _in_copy(g, 0, 0, k).start()
+    wins = jax.lax.fori_loop(0, njmax, iter_body, zero_wins)
+
+    # Final drain per chain (see the single-chain kernel's notes): flush
+    # a genuine partial last frame, then wait the in-flight output DMAs.
+    for g in range(gs):
+        total = gtot_ref[0, g, 0]
+        last = total >> 12
+        partial = (total & 4095) > 0
+        top = jnp.where(partial, last, last - 1)
+
+        @pl.when(partial)
+        def _(g=g, last=last):
+            flush_frame_g(g, wins[g], last)
+
+        @pl.when(top >= 1)
+        def _(g=g, top=top):
+            _out_copy(g, top - 1).wait()
+
+        @pl.when(top >= 0)
+        def _(g=g, top=top):
+            _out_copy(g, top).wait()
+
+
+def compact_segments_stuffed_grouped(seg_words: jax.Array,
+                                     seg_bits: jax.Array,
+                                     frames_per_seg: int, restart: int,
+                                     groups: int,
+                                     segs_per_image: int | None = None,
+                                     mnum: jax.Array | None = None,
+                                     k_chunks: int | None = None):
+    """compact_segments_stuffed with `groups` independent serial chains
+    (_compact_stuff_kernel_gkb): segments split into contiguous groups
+    of spg = ceil(n_seg/groups); chain g emits its segments' stuffed
+    span into its OWN frame-aligned region.
+
+    Returns (stream2d [groups, capf*1024] u32 (byte-swapped raw bytes),
+    group_bytes [groups] i32, img_off, total). The final scan is the
+    concatenation of stream2d[g]'s first group_bytes[g] bytes — the
+    caller stitches spans during the host assembly it already does.
+    Byte-identical to compact_segments_stuffed's single stream by
+    construction (asserted by tests on adversarial vectors + fuzz)."""
+    n_seg = seg_words.shape[0]
+    f = frames_per_seg
+    gs = int(groups)
+    kb = _COMPACT_KB if k_chunks is None else k_chunks
+    kb = min(kb, 3)                       # grouped kernel: 8-frame window
+    assert gs >= 1 and 1 <= kb <= 3
+    spi = segs_per_image or n_seg
+    assert n_seg % spi == 0
+    if mnum is None:
+        within = np.arange(n_seg, dtype=np.int32) % spi
+        mnum = np.where((restart > 0) & (within != spi - 1),
+                        0xD0 + (within % 8), 0).astype(np.int32)
+    mnum = jnp.asarray(mnum, jnp.int32)
+    chunk_off, out_chunk, in_chunk, seg_end, nchunks, seg_start, total = \
+        _stuff_precompute(seg_words, seg_bits, f, mnum)
+    img_off = seg_start[::spi]
+
+    spg = -(-n_seg // gs)
+    gidx = jnp.arange(gs, dtype=jnp.int32)
+    sidx = jnp.arange(n_seg, dtype=jnp.int32)
+    gid = sidx // spg
+    gfirst = jnp.clip(gidx * spg, 0, n_seg - 1)
+    glast = jnp.clip((gidx + 1) * spg - 1, 0, n_seg - 1)
+    gempty = (gidx * spg) >= n_seg
+    group_start = seg_start[gfirst]
+    off_local = chunk_off - group_start[gid][:, None]
+    send_local = seg_end - group_start[gid]
+    gtot = jnp.where(gempty, 0,
+                     send_local[glast] +
+                     2 * (mnum[glast] > 0).astype(jnp.int32))
+
+    # chunk-group schedule: chain g's iteration i -> (segment, chunk
+    # group) plus last-of-segment / validity flags
+    f_pad = -(-f // kb) * kb
+    if f_pad != f:
+        tail = off_local[:, -1:] + out_chunk[:, -1:]
+        off_local = jnp.concatenate(
+            [off_local] + [tail] * (f_pad - f), axis=1)
+        zpad = [(0, 0), (0, f_pad - f)]
+        out_chunk = jnp.pad(out_chunk, zpad)
+        in_chunk = jnp.pad(in_chunk, zpad)
+    cnt = (nchunks + kb - 1) // kb                       # [n_seg]
+    sgrid = gidx[:, None] * spg + jnp.arange(spg)[None, :]
+    seg_ok = sgrid < n_seg
+    cntg = jnp.where(seg_ok, cnt[jnp.clip(sgrid, 0, n_seg - 1)], 0)
+    ccnt = jnp.cumsum(cntg, axis=1)                      # [gs, spg]
+    nj = ccnt[:, -1]
+    njmax = jnp.max(nj)
+    jpg = f_pad // kb
+    imax = spg * jpg + 1
+    ii = jnp.arange(imax, dtype=jnp.int32)
+    s_local = jnp.sum((ccnt[:, :, None] <= ii[None, None, :])
+                      .astype(jnp.int32), axis=1)        # [gs, imax]
+    s_cl = jnp.clip(s_local, 0, spg - 1)
+    ccnt0 = jnp.concatenate(
+        [jnp.zeros((gs, 1), ccnt.dtype), ccnt], axis=1)
+    prev = jnp.take_along_axis(ccnt0, s_cl, axis=1)
+    jj = jnp.clip(ii[None, :] - prev, 0, jpg - 1)
+    validi = (ii[None, :] < nj[:, None]).astype(jnp.int32)
+    cnt_at = jnp.take_along_axis(cntg, s_cl, axis=1)
+    is_last = (validi > 0) & (ii[None, :] - prev == cnt_at - 1)
+    sseg = jnp.clip(gidx[:, None] * spg + s_cl, 0, n_seg - 1)
+
+    capf = spg * f * 2 + 2
+    kernel = functools.partial(
+        _compact_stuff_kernel_gkb, n_seg=n_seg, f_per_seg=f,
+        f_pad=f_pad, capf=capf, kb=kb, gs=gs, imax=imax)
+    sc = lambda x: x.astype(jnp.int32).reshape(1, -1, 1)  # noqa: E731
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11 +
+                 [pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((gs, capf, 8, 128), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((2, gs, kb, 8, 128), jnp.uint32),
+            pltpu.VMEM((gs, 2, 8, 128), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2, gs, kb)),
+            pltpu.SemaphoreType.DMA((gs, 2)),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(sc(off_local), sc(out_chunk), sc(in_chunk), sc(send_local),
+      sc(mnum), sc(gtot), sc(njmax), sc(sseg), sc(jj),
+      sc(is_last.astype(jnp.int32)), sc(validi), 
+      seg_words.reshape(n_seg, f, 8, 128))
+    return out.reshape(gs, capf * 1024), gtot, img_off, total

@@ -70,14 +70,21 @@ _TILE = 512  # MCU rows per grid step in kernel B / block_pack_mcu
 #   "staticchain"    break _merge_pairs' serial off-chain (static offsets)
 _BP_ATTR_MODE = None
 
-# Round-4 gather-cut candidates in _place_pair (byte-identical by
-# construction, interpret-tested; DEFAULT OFF until the HW in-context
-# byte gate passes — scripts/tpu_ab_bp_place.py — because int32 vector
-# variants of this kernel have miscompiled in-context before):
+# Round-4 gather cuts in _place_pair (interpret-bit-identical on
+# dense/sparse/zero/max vectors; HW in-context byte gate
+# scripts/tpu_ab_bp_place.py 2026-08-20: all four combos IDENTICAL on
+# the full 4K program — run because int32 vector variants of this
+# kernel have miscompiled in-context before):
 #   _BP_PLACE_PACKED  pack both 16-bit prefix planes mod 2^16 into one
-#                     i32 -> 1 ps_at gather per place call instead of 2
-#   _BP_RANK6         6-probe rank search + broadcast count==64 fix-up
-_BP_PLACE_PACKED = os.environ.get("JPEGTPU_BP_PLACE_PACKED", "0") != "0"
+#                     i32 -> 1 ps_at gather per place call instead of 2.
+#                     PRODUCTION DEFAULT ON: 5.13-5.19 -> 4.76-4.95
+#                     ms/4K over 3 interleaved reps (~1617 -> ~1700
+#                     MPix/s).
+#   _BP_RANK6         6-probe rank search + broadcast count==64 fix-up.
+#                     TESTED NEUTRAL (5.05-5.12 alone, and slightly
+#                     WORSE combined with packed: 4.94-5.06) — default
+#                     off, kept selectable.
+_BP_PLACE_PACKED = os.environ.get("JPEGTPU_BP_PLACE_PACKED", "1") != "0"
 _BP_RANK6 = os.environ.get("JPEGTPU_BP_RANK6", "0") != "0"
 
 

@@ -120,9 +120,10 @@ def main():
     # --- MXU f32 HIGHEST [512,128]@[128,128] ---
     def mxu_body(x, m):
         a = jnp.zeros_like(x)
+        mm = m[0:128, :]                              # [128,128] operand
         for r in range(REPS // 4):
             a = a + jax.lax.dot_general(
-                x + r, m, (((1,), (0,)), ((), ())),
+                x + r, mm, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)  # independent matmuls
         return a

@@ -82,16 +82,19 @@ class EncoderConfig:
     bp_merge_rot: bool = dataclasses.field(
         default_factory=lambda: os.environ.get(
             "JPEGTPU_BP_MERGE_ROT", "0") != "0")
-    # Independent serial chains in the device stuffing kernel (round-4
-    # candidate): segments split into `compact_groups` contiguous groups,
-    # each compacted by its own register-window chain into its own
-    # frame-aligned output region (kernels/compact.py:
-    # _compact_stuff_kernel_gkb); the host stitches the exact-size spans.
-    # 1 = the single-chain kernel. Effective on the single-image
-    # device_stuff path; capped at n_seg.
+    # Independent serial chains in the device stuffing kernel: segments
+    # split into `compact_groups` contiguous groups, each compacted by
+    # its own register-window chain into its own frame-aligned output
+    # region (kernels/compact.py:_compact_stuff_kernel_gkb); the host
+    # stitches the exact-size spans. 1 = the single-chain kernel.
+    # Effective on the single-image device_stuff path; capped at n_seg.
+    # PRODUCTION DEFAULT 8 (HW A/B 2026-08-20, scripts/
+    # tpu_ab_compact_groups.py: byte-identical at gs 2/4/8/16;
+    # 4.86-4.99 -> 4.66-4.71 ms/4K q90 420 at gs=8 over 3 interleaved
+    # reps; gs=16 regresses — more chains than latency to hide).
     compact_groups: int = dataclasses.field(
         default_factory=lambda: int(os.environ.get(
-            "JPEGTPU_COMPACT_GROUPS", "1")))
+            "JPEGTPU_COMPACT_GROUPS", "8")))
     # First-pass per-block bit budget for device stream buffers
     # (0 = DEFAULT_BITS_BUDGET). Undersized budgets are detected on device
     # and escalated to the worst case by the host, on every path

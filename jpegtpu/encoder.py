@@ -272,7 +272,7 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
                                 device_stuff=False, marker_nums=None,
                                 pixel_path="nat", fuse_bp=False,
                                 compact_kb=None, bp_merge_rot=None,
-                                mcu_group=1):
+                                mcu_group=1, compact_groups=1):
     """Batched device program: [B, H, W, 3] -> one compacted stream + per-
     segment bit counts for the whole batch.
 
@@ -332,6 +332,20 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
             mwords, mlens, bsz * n_seg, mcus_per_seg, w_cap)
     frames_per_seg = seg_words.shape[1] // 1024
     if device_stuff:
+        gs = 1
+        if compact_groups > 1 and marker_nums is None:
+            # Groups of WHOLE images (gs | bsz) so each image's bytes
+            # live in one output region and per-image extraction stays a
+            # single slice (_encode_batch_fused).
+            gs = max(g for g in range(1, min(compact_groups, bsz) + 1)
+                     if bsz % g == 0)
+        if gs > 1:
+            stream2d, group_lens, img_off, total = \
+                compact.compact_segments_stuffed_grouped(
+                    seg_words, seg_bits, frames_per_seg, restart, gs,
+                    segs_per_image=n_seg, k_chunks=compact_kb)
+            return (stream2d, seg_bits.reshape(bsz, n_seg), max_mcu_bits,
+                    img_off, total, group_lens)
         stream, img_off, total = compact.compact_segments_stuffed(
             seg_words, seg_bits, frames_per_seg, restart,
             segs_per_image=n_seg, mnum=marker_nums,
@@ -360,7 +374,8 @@ def _jitted_encode_batch(batch: int, shape: Tuple[int, int],
         use_fused=cfg.use_pallas, device_stuff=cfg.device_stuff,
         pixel_path=cfg.pixel_path, fuse_bp=cfg.fuse_bp,
         compact_kb=cfg.compact_kb, bp_merge_rot=cfg.bp_merge_rot,
-        mcu_group=_entropy_mcu_group(shape, cfg, bits_budget))
+        mcu_group=_entropy_mcu_group(shape, cfg, bits_budget),
+        compact_groups=cfg.compact_groups)
     return jax.jit(fn), restart, n_seg
 
 
@@ -609,9 +624,13 @@ def _encode_batch_fused(imgs: np.ndarray, cfg: EncoderConfig) -> List[bytes]:
     out_dev = fn(jnp.asarray(imgs))
     stream, seg_bits, max_mcu = out_dev[:3]
     seg_bits_np = np.asarray(seg_bits)
-    frames = stream.shape[0] // (bsz * n_seg) // 1024
-    if cfg.device_stuff:
+    if stream.ndim == 2:                       # grouped chains
+        spg = (bsz // stream.shape[0]) * n_seg
+        frames = (stream.shape[1] // 1024 - 2) // (2 * spg)
+    elif cfg.device_stuff:
         frames = (stream.shape[0] // 1024 - 1) // (2 * bsz * n_seg)
+    else:
+        frames = stream.shape[0] // (bsz * n_seg) // 1024
     cap_bits = (frames - 1) * 1024 * 32
     gm = _entropy_mcu_group((h, w), cfg)
     if _budget_overflow(seg_bits_np, int(np.asarray(max_mcu)), cap_bits,
@@ -623,6 +642,30 @@ def _encode_batch_fused(imgs: np.ndarray, cfg: EncoderConfig) -> List[bytes]:
         seg_bits_np = np.asarray(seg_bits)
 
     gran = Encoder._FETCH_GRANULE
+    if cfg.device_stuff and stream.ndim == 2:
+        # Grouped chains over whole images (gs | bsz): image i's bytes
+        # live in region i // ipg at its global offset minus the group's
+        # first image offset.
+        img_off = np.asarray(out_dev[3])
+        glens = np.asarray(out_dev[5])
+        gs = stream.shape[0]
+        ipg = bsz // gs
+        raws = []
+        for g in range(gs):
+            n_words = -(-int(glens[g]) // 4)
+            n_fetch = min(-(-n_words // gran) * gran, stream.shape[1])
+            raws.append(np.asarray(stream[g, :n_fetch])
+                        .view(np.uint8)[:int(glens[g])])
+        files = []
+        for i in range(bsz):
+            g = i // ipg
+            start = int(img_off[i] - img_off[g * ipg])
+            end = (int(img_off[i + 1] - img_off[g * ipg])
+                   if (i + 1) % ipg else int(glens[g]))
+            files.append(jfif.wrap_jpeg(h, w, cfg.quality,
+                                        cfg.subsampling, restart,
+                                        raws[g][start:end].tobytes()))
+        return files
     if cfg.device_stuff:
         img_off = np.asarray(out_dev[3])
         total = int(np.asarray(out_dev[4]))

@@ -986,9 +986,13 @@ def _compact_stuff_kernel_gkb(off_ref, slen_ref, innb_ref, send_ref,
         return win
 
     def _out_copy(g, fi):
+        # out is FLAT [gs*capf, 8, 128]: a 4D [gs, capf, 8, 128] ANY
+        # output made Mosaic stage a >16 MB scoped-VMEM stack slice at
+        # the 8K geometry (capf=2382) and fail compile; the 3D form is
+        # exactly the single-chain kernel's shape and stays in HBM.
         return pltpu.make_async_copy(
             flush_ref.at[g, fi & 1],
-            out_ref.at[g, jnp.minimum(fi, capf - 1)],
+            out_ref.at[g * capf + jnp.minimum(fi, capf - 1)],
             sem_out.at[g, fi & 1])
 
     def flush_frame_g(g, win, fi):
@@ -1306,7 +1310,7 @@ def compact_segments_stuffed_grouped(seg_words: jax.Array,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11 +
                  [pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((gs, capf, 8, 128), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((gs * capf, 8, 128), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((2, gs, kb, 8, 128), jnp.uint32),
             pltpu.VMEM((gs, 2, 8, 128), jnp.uint32),

@@ -30,12 +30,15 @@ def main():
     from jpegtpu.config import EncoderConfig
     log(f"backend {jax.default_backend()}")
 
+    sub = sys.argv[1] if len(sys.argv) > 1 else "420"
     h, w = 2160, 3840
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:h, 0:w]
     base = (128 + 60 * np.sin(xx / 97.0) * np.cos(yy / 53.0))
     img = np.clip(base[..., None] + rng.normal(0, 12, (h, w, 3)),
                   0, 255).astype(np.uint8)
+    if sub == "gray":
+        img = img[..., 0]
     imgd = jax.device_put(jnp.asarray(img))
     probe = jax.jit(lambda o: jnp.sum(o[1]) +
                     jnp.sum(o[0].reshape(-1)[::4099].astype(jnp.int32)))
@@ -54,7 +57,7 @@ def main():
     fns = {}
     ref = None
     for gs in gss:
-        cfg = EncoderConfig(quality=90, subsampling="420",
+        cfg = EncoderConfig(quality=90, subsampling=sub,
                             restart_interval="rows", compact_groups=gs)
         t0 = time.perf_counter()
         fn, _, _ = enc_mod._jitted_encode((h, w), cfg)

@@ -23,11 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tpu_stages_common import log, sync_time  # noqa: E402
 
 T = 512
-GRID = 64
 REPS = 48
 
 
-def _bench(kern_body, n_in=1, dtype=None, reps=REPS, label=""):
+def _bench(kern_body, n_in=1, dtype=None, reps=REPS, label="", grid=512):
+    # per-call device time must dominate dispatch jitter through the
+    # tunnel (the first calibration run at grid=64 measured 0.000 ms for
+    # the HBM copy and 268435456 GB/s — pure noise); grids are sized so
+    # every call runs >= ~2 ms on device.
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -44,18 +47,18 @@ def _bench(kern_body, n_in=1, dtype=None, reps=REPS, label=""):
                                memory_space=pltpu.VMEM)] * n_in,
         out_specs=pl.BlockSpec((T, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((GRID * T, 128), dtype),
-        grid=(GRID,),
+        out_shape=jax.ShapeDtypeStruct((grid * T, 128), dtype),
+        grid=(grid,),
     ))
     rng = np.random.default_rng(0)
     if dtype == jnp.float32:
-        args = [jnp.asarray(rng.normal(0, 1, (GRID * T, 128))
+        args = [jnp.asarray(rng.normal(0, 1, (grid * T, 128))
                             .astype(np.float32)) for _ in range(n_in)]
     else:
-        args = [jnp.asarray(rng.integers(0, 1 << 20, (GRID * T, 128),
+        args = [jnp.asarray(rng.integers(0, 1 << 20, (grid * T, 128),
                                          np.int32)) for _ in range(n_in)]
     dt = sync_time(f, *args)
-    per = dt / (GRID * reps)
+    per = dt / (grid * reps)
     log(f"{label}: {dt * 1e3:.3f} ms total, {per * 1e9:.1f} ns per "
         f"[{T},128] pass ({per * 1e9 / (T // 8):.2f} ns/vreg)")
     return per
@@ -71,7 +74,7 @@ def main():
     log(f"backend {jax.default_backend()}")
 
     # --- HBM streaming bandwidth (read + write) ---
-    nwords = 32 * (1 << 20)                       # 128 MB in, 128 MB out
+    nwords = 128 * (1 << 20)                      # 512 MB in, 512 MB out
     def copy_kern(x_ref, o_ref):
         o_ref[...] = x_ref[...] + 1
 
@@ -87,7 +90,7 @@ def main():
     x = jnp.zeros((nwords // 1024, 1024), jnp.int32)
     dt = sync_time(fcp, x)
     gbs = 2 * nwords * 4 / dt / 1e9
-    log(f"hbm: {dt * 1e3:.3f} ms for 128 MB r + 128 MB w -> "
+    log(f"hbm: {dt * 1e3:.3f} ms for 512 MB r + 512 MB w -> "
         f"{gbs:.0f} GB/s")
 
     # --- VPU elementwise i32 (two independent chains) ---
@@ -98,7 +101,7 @@ def main():
             a = a + x
             b = b ^ x
         return a + b
-    _bench(vpu_body, label=f"vpu i32 ({REPS} ops)")
+    _bench(vpu_body, label=f"vpu i32 ({REPS} ops)", grid=1024)
 
     # --- pltpu.roll ---
     def roll_body(x):
@@ -106,7 +109,7 @@ def main():
         for r in range(REPS):
             a = a + pltpu.roll(x, (r % 63) + 1, axis=1)  # independent rolls
         return a
-    _bench(roll_body, label=f"roll+add ({REPS} roll+add pairs)")
+    _bench(roll_body, label=f"roll+add ({REPS} roll+add pairs)", grid=512)
 
     # --- lane gather (independent) ---
     def gather_body(x, idx):
@@ -115,7 +118,7 @@ def main():
             a = a + jnp.take_along_axis(x, (idx + r) & 127, axis=1)
         return a
     import jax.numpy as jnp  # noqa: F811
-    _bench(gather_body, n_in=2, label=f"gather+add ({REPS} passes)")
+    _bench(gather_body, n_in=2, label=f"gather+add ({REPS} passes)", grid=256)
 
     # --- MXU f32 HIGHEST [512,128]@[128,128] ---
     def mxu_body(x, m):
@@ -128,7 +131,7 @@ def main():
                 preferred_element_type=jnp.float32)  # independent matmuls
         return a
     _bench(mxu_body, n_in=2, dtype=jnp.float32, reps=REPS // 4,
-           label=f"mxu f32 HIGHEST ({REPS // 4} matmuls)")
+           label=f"mxu f32 HIGHEST ({REPS // 4} matmuls)", grid=256)
     log("DONE")
     return 0
 

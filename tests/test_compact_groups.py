@@ -103,3 +103,34 @@ def test_encoder_compact_groups_end_to_end(monkeypatch):
             assert got == ref, f"compact_groups={gs} bytes differ"
     finally:
         enc_mod._jitted_encode.cache_clear()
+
+
+def test_encode_batch_fused_compact_groups(monkeypatch):
+    """The grouped-chain batch path (groups of whole images) must produce
+    byte-identical files to the per-image path for every gs | bsz,
+    including gs < requested (bsz % compact_groups != 0 falls back to
+    the largest divisor)."""
+    import jpegtpu.encoder as enc_mod
+    import jpegtpu.kernels.entropy_pack as epk
+    from jpegtpu.config import EncoderConfig
+    from jpegtpu.kernels import fused_dctq
+
+    rng = np.random.default_rng(5)
+    imgs = rng.integers(0, 256, (6, 24, 16, 3), dtype=np.uint8)
+    cfg = EncoderConfig(quality=80, subsampling="420",
+                        restart_interval="rows")
+    singles = [enc_mod.Encoder(cfg).encode(im) for im in imgs]
+
+    monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
+    enc_mod._jitted_encode.cache_clear()
+    enc_mod._jitted_encode_batch.cache_clear()
+    try:
+        for gs in (2, 3, 6, 8):     # 8 -> largest divisor of 6 is 6
+            cfg_g = dataclasses.replace(cfg, compact_groups=gs)
+            batched = enc_mod._encode_batch_fused(imgs, cfg_g)
+            assert batched == singles, f"compact_groups={gs}"
+    finally:
+        enc_mod._jitted_encode.cache_clear()
+        enc_mod._jitted_encode_batch.cache_clear()

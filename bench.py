@@ -155,7 +155,8 @@ def run_bench() -> int:
     # (no module-global mutation; the selectors are jit-cache-keyed
     # EncoderConfig fields since round 4).
     baseline_cfg = dataclasses.replace(cfg, pixel_path="xla", compact_kb=1,
-                                       bp_merge_rot=False, fuse_bp=False)
+                                       bp_merge_rot=False, fuse_bp=False,
+                                       compact_groups=1)
     try:
         jpg, psnr = gated_encode(cfg)
     except Exception as e:
@@ -206,6 +207,7 @@ def run_bench() -> int:
         "psnr_floor_db": round(psnr_floor, 2),
         "bytes": len(jpg),
         "compact_kb": cfg.compact_kb,
+        "compact_groups": cfg.compact_groups,
         "bp_merge_rot": cfg.bp_merge_rot,
         "pixel_path": cfg.pixel_path,
     }))

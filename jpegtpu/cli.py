@@ -193,8 +193,8 @@ def cmd_info(args) -> int:
     print(f"native helpers: {'loaded' if native.available() else 'absent'}")
     cfg = EncoderConfig()  # default config = env-resolved kernel selectors
     print(f"kernel paths: pixel_path={cfg.pixel_path} "
-          f"compact_kb={cfg.compact_kb} fuse_bp={cfg.fuse_bp} "
-          f"bp_merge_rot={cfg.bp_merge_rot}")
+          f"compact_kb={cfg.compact_kb} compact_groups={cfg.compact_groups} "
+          f"fuse_bp={cfg.fuse_bp} bp_merge_rot={cfg.bp_merge_rot}")
     return 0
 
 

@@ -65,17 +65,20 @@ def main():
     from jpegtpu import encoder as enc_mod
     from jpegtpu.config import EncoderConfig
 
+    sub = sys.argv[1] if len(sys.argv) > 1 else "420"
     h, w = 2160, 3840
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:h, 0:w]
     base = (128 + 60 * np.sin(xx / 97.0) * np.cos(yy / 53.0))
     img = np.clip(base[..., None] + rng.normal(0, 12, (h, w, 3)),
                   0, 255).astype(np.uint8)
+    if sub == "gray":
+        img = img[..., 0]
     imgd = jax.device_put(jnp.asarray(img))
-    cfg = EncoderConfig(quality=90, subsampling="420",
+    cfg = EncoderConfig(quality=90, subsampling=sub,
                         restart_interval="rows")
     probe = jax.jit(lambda o: jnp.sum(o[1]) +
-                    jnp.sum(o[0][::4099].astype(jnp.int32)))
+                    jnp.sum(o[0].reshape(-1)[::4099].astype(jnp.int32)))
 
     n_frames = 8
     fn, _, _ = enc_mod._jitted_encode((h, w), cfg)
@@ -86,7 +89,7 @@ def main():
     with jax.profiler.trace(d, create_perfetto_trace=True):
         outs = [fn(imgd) for _ in range(n_frames)]
         float(probe(outs[-1]))
-    summarize(d, "production", n_frames)
+    summarize(d, f"production {sub}", n_frames)
     log("DONE")
     return 0
 

@@ -1021,8 +1021,8 @@ def _compact_stuff_kernel_gkb(off_ref, slen_ref, innb_ref, send_ref,
 
     def _sched(g, i):
         b = g * imax + i
-        return (sseg_ref[0, b, 0], sj_ref[0, b, 0],
-                slast_ref[0, b, 0], svalid_ref[0, b, 0])
+        return (sseg_ref[0, b], sj_ref[0, b],
+                slast_ref[0, b], svalid_ref[0, b])
 
     def _in_copy(g, i, slot, k):
         seg, j, _, _ = _sched(g, i)
@@ -1033,7 +1033,7 @@ def _compact_stuff_kernel_gkb(off_ref, slen_ref, innb_ref, send_ref,
 
     def iter_body(i, wins):
         slot = i & 1
-        nj = njmax_ref[0, 0, 0]
+        nj = njmax_ref[0, 0]
         for g in range(gs):
             for k in range(kb):
                 _in_copy(g, i, slot, k).wait()
@@ -1049,13 +1049,13 @@ def _compact_stuff_kernel_gkb(off_ref, slen_ref, innb_ref, send_ref,
         for g in range(gs):
             seg, j, lastf, val = _sched(g, i)
             base = seg * f_pad + j * kb
-            gend = gtot_ref[0, g, 0]
+            gend = gtot_ref[0, g]
             for k in range(kb):
-                curs.append(jnp.where(val > 0, off_ref[0, base + k, 0],
+                curs.append(jnp.where(val > 0, off_ref[0, base + k],
                                       gend))
-                rems.append(jnp.where(val > 0, innb_ref[0, base + k, 0],
+                rems.append(jnp.where(val > 0, innb_ref[0, base + k],
                                       0))
-                slens.append(jnp.where(val > 0, slen_ref[0, base + k, 0],
+                slens.append(jnp.where(val > 0, slen_ref[0, base + k],
                                        0))
             segs.append(seg)
             lasts.append(lastf)
@@ -1169,8 +1169,8 @@ def _compact_stuff_kernel_gkb(off_ref, slen_ref, innb_ref, send_ref,
             # trailing RST marker, folded into the segment's last
             # iteration (masked to zero otherwise)
             seg = segs[g]
-            send = send_ref[0, seg, 0]
-            mnum = mnum_ref[0, seg, 0]
+            send = send_ref[0, seg]
+            mnum = mnum_ref[0, seg]
             do_mark = (lasts[g] > 0) & (vals[g] > 0) & (mnum > 0)
             mk = jnp.where(do_mark, jnp.uint32(0xFFFFFFFF),
                            jnp.uint32(0))
@@ -1189,7 +1189,7 @@ def _compact_stuff_kernel_gkb(off_ref, slen_ref, innb_ref, send_ref,
         return tuple(new_wins)
 
     zero_wins = tuple(jnp.zeros((64, 128), jnp.uint32) for _ in range(gs))
-    njmax = njmax_ref[0, 0, 0]
+    njmax = njmax_ref[0, 0]
 
     @pl.when(njmax > 0)
     def _():
@@ -1201,7 +1201,7 @@ def _compact_stuff_kernel_gkb(off_ref, slen_ref, innb_ref, send_ref,
     # Final drain per chain (see the single-chain kernel's notes): flush
     # a genuine partial last frame, then wait the in-flight output DMAs.
     for g in range(gs):
-        total = gtot_ref[0, g, 0]
+        total = gtot_ref[0, g]
         last = total >> 12
         partial = (total & 4095) > 0
         top = jnp.where(partial, last, last - 1)
@@ -1304,10 +1304,13 @@ def compact_segments_stuffed_grouped(seg_words: jax.Array,
     kernel = functools.partial(
         _compact_stuff_kernel_gkb, n_seg=n_seg, f_per_seg=f,
         f_pad=f_pad, capf=capf, kb=kb, gs=gs, imax=imax)
-    sc = lambda x: x.astype(jnp.int32).reshape(1, -1, 1)  # noqa: E731
+    # scalar operands ride in SMEM ([1, N] i32): the [1, N, 1] VMEM
+    # form lane-pads 128x and blew the 16 MB scoped-vmem stack at the
+    # 8K geometry (off/slen/innb alone are 14.6 MB there)
+    sc = lambda x: x.astype(jnp.int32).reshape(1, -1)  # noqa: E731
     out = pl.pallas_call(
         kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11 +
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 11 +
                  [pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((gs * capf, 8, 128), jnp.uint32),

@@ -87,6 +87,13 @@ _BP_ATTR_MODE = None
 _BP_PLACE_PACKED = os.environ.get("JPEGTPU_BP_PLACE_PACKED", "1") != "0"
 _BP_RANK6 = os.environ.get("JPEGTPU_BP_RANK6", "0") != "0"
 
+# seg_merge natural-layout input (candidate, HW gate pending —
+# scripts/tpu_ab_sm_nat.py): the kernel reads the padded
+# [n_seg_p, mps_p, CW] stream tensor directly via a (s_rows, mb, CW)
+# block + dynamic middle-index slices, skipping the [G, mps, S, CW]
+# XLA transpose copy (~0.4 ms/4K of glue; 2x the tensor at 444).
+_SM_NAT_INPUT = os.environ.get("JPEGTPU_SM_NAT", "0") != "0"
+
 
 def _interpret() -> bool:
     """Pallas interpreter mode off-TPU (tests on the CPU backend)."""
@@ -758,7 +765,8 @@ def block_pack_mcu_pairs(c2: jax.Array, cls: jax.Array, dcdiff: jax.Array,
 def _seg_merge_v3_kernel(mwords_ref, off_ref, len_ref, map_ref, out_ref,
                          win_ref, stage_ref, sem_out,
                          *, mb: int, m_steps: int, chunks: int, s_rows: int,
-                         frames: int, mcu_major: bool = False):
+                         frames: int, mcu_major: bool = False,
+                         nat_input: bool = False):
     """Sublane-vectorized segment merge: S segments advance together.
 
     Each grid step (g, m) appends `mb` MCU streams to each of `s_rows`
@@ -801,8 +809,14 @@ def _seg_merge_v3_kernel(mwords_ref, off_ref, len_ref, map_ref, out_ref,
         win = list(win)
         o = off_ref[0, j]                                # [S, 1] i32
         l = len_ref[0, j]                                # [S, 1]
-        # mcu-major mode blocks are [mb, 1, S, CW] (j outermost)
-        s = mwords_ref[j, 0] if mcu_major else mwords_ref[0, j]  # [S, CW]
+        # mcu-major mode blocks are [mb, 1, S, CW] (j outermost);
+        # nat_input blocks are the NATURAL [S, mb, CW] layout (no XLA
+        # transpose of the stream tensor) — [:, j, :] slices the same
+        # [S, CW] rows via a dynamic middle index
+        if nat_input:
+            s = mwords_ref[:, j, :]                      # [S, CW]
+        else:
+            s = mwords_ref[j, 0] if mcu_major else mwords_ref[0, j]
         r = (o & 31).astype(jnp.uint32)
 
         # funnel shift right by r bits across the whole stream (branch-free
@@ -963,7 +977,8 @@ def seg_merge_v3(words: jax.Array, lens: jax.Array, n_seg: int, bps: int,
 
 def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
                   mps: int, w_cap: int, block_mcus: int | None = None,
-                  mcu_major: bool = False, s_rows: int | None = None):
+                  mcu_major: bool = False, s_rows: int | None = None,
+                  nat_input: bool | None = None):
     """seg_merge_v3's serial-window phase on pre-merged MCU streams
     ([nm, chunks*128] u32 + [nm] i32, e.g. from block_pack_mcu).
 
@@ -1035,6 +1050,9 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
         tail = jnp.broadcast_to(csum[:, -1:], (n_seg, mps_p - mps))
         off_p = off_p.at[:n_seg, mps:].set(tail)
     len_p = _pad_seg_mcu(ml)
+    if nat_input is None:
+        nat_input = _SM_NAT_INPUT
+    nat_input = bool(nat_input) and not mcu_major
     if mcu_major:
         # zero rows are REQUIRED for padded MCUs (their streams OR into
         # live window positions); padded-segment columns may hold
@@ -1069,6 +1087,16 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
         mw_spec = pl.BlockSpec((mb, 1, s_rows, chunks * 128),
                                lambda gi, mi: (mi, gi, 0, 0),
                                memory_space=pltpu.VMEM)
+    elif nat_input:
+        # NATURAL layout: block (s_rows, mb, CW) straight out of the
+        # padded [n_seg_p, mps_p, CW] tensor — no [G, mps, S, CW]
+        # transpose copy of the stream tensor (the kernel slices
+        # [:, j, :] per iteration instead). Candidate (env
+        # JPEGTPU_SM_NAT; HW gate scripts/tpu_ab_sm_nat.py).
+        mw_k = mw_p
+        mw_spec = pl.BlockSpec((s_rows, mb, chunks * 128),
+                               lambda gi, mi: (gi, mi, 0),
+                               memory_space=pltpu.VMEM)
     else:
         mw_k = _to_kernel(mw_p, chunks * 128)
         mw_spec = pl.BlockSpec((1, mb, s_rows, chunks * 128),
@@ -1078,7 +1106,8 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
     frames = -(-w_cap // 1024) + 1
     kernel = functools.partial(
         _seg_merge_v3_kernel, mb=mb, m_steps=m_steps, chunks=chunks,
-        s_rows=s_rows, frames=frames, mcu_major=mcu_major)
+        s_rows=s_rows, frames=frames, mcu_major=mcu_major,
+        nat_input=nat_input)
     out = pl.pallas_call(
         kernel,
         grid=(n_groups, m_steps),

@@ -1169,3 +1169,20 @@ def test_block_pack_place_variants_bit_identical(packed, rank6, seed):
         ep._BP_PLACE_PACKED, ep._BP_RANK6 = old
     assert np.array_equal(np.asarray(w), np.asarray(ref_w))
     assert np.array_equal(np.asarray(l), np.asarray(ref_l))
+
+
+def test_seg_merge_nat_input_bit_identical():
+    """Round-4 candidate: seg_merge reading the NATURAL [n_seg, mps, CW]
+    layout (no XLA transpose of the stream tensor) must be bit-identical
+    to the transposed-input form."""
+    rng = np.random.default_rng(3)
+    n_seg, mps, g = 11, 24, 6
+    nm = n_seg * mps
+    mw = jnp.asarray(rng.integers(0, 1 << 32, (nm, 128),
+                                  dtype=np.uint64).astype(np.uint32))
+    ml = jnp.asarray(rng.integers(50, 2000, nm).astype(np.int32))
+    w_cap = -(-mps * g * 384 // 32)
+    ref = ep.seg_merge_mcu(mw, ml, n_seg, mps, w_cap)
+    got = ep.seg_merge_mcu(mw, ml, n_seg, mps, w_cap, nat_input=True)
+    for a, b in zip(ref, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

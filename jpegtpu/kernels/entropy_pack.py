@@ -689,7 +689,17 @@ def block_pack_mcu_pairs(c2: jax.Array, cls: jax.Array, dcdiff: jax.Array,
         tile = nm // mcu_major_segs                     # = mps
         assert tile % 8 == 0
     else:
+        # Prefer a tile that DIVIDES nm (largest divisor of nm in
+        # [256, _TILE], multiple of 8): a non-dividing tile forces a
+        # concat pad of the whole coeffs tensor — a ~0.33 ms/4K-444 XLA
+        # copy (trace_r4_444.log pad.11+reshape.46; 420 pays ~0.15).
+        # The round-2 tile sweep showed 256 within ~15% of 512, so any
+        # divisor in range beats the pad copy.
         tile = _TILE
+        for cand in range(_TILE, 255, -8):
+            if cand <= nm and nm % cand == 0:
+                tile = cand
+                break
         pad = (-nm) % tile
         if pad:
             c2 = jnp.concatenate(

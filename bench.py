@@ -179,7 +179,9 @@ def run_bench() -> int:
     # removes the fixed dispatch+fetch round-trip (~30 ms through this
     # tunnel), which would otherwise dominate per-frame numbers.
     fn, _, kind = _jitted_encode((h, w), cfg)
-    imgd = jax.device_put(jnp.asarray(img))
+    # flat-RGB [H, W*3] parameter (see encoder._run_device): saves
+    # ~0.34 ms/4K of device relayout copies, byte-identical
+    imgd = jax.device_put(jnp.asarray(img.reshape(h, -1)))
     probe = jax.jit(lambda o: jnp.sum(o[1]) +
                     jnp.sum(o[0][::4099].astype(jnp.int32)))
     float(probe(fn(imgd)))  # warm both programs

@@ -88,6 +88,8 @@ def _device_encode_xla(img, *, quality, subsampling, restart, n_seg,
                        mcus_per_seg, use_fused):
     """XLA-only device program -> stuffed segments (oracle/off-TPU path)."""
     n_luma = _n_luma(subsampling)
+    if img.ndim == 2 and subsampling != "gray":
+        img = img.reshape(img.shape[0], -1, 3)   # flat-RGB parameter
     coeffs = _pixel_path(img, quality, subsampling, use_fused)
     n_mcu, b, _ = coeffs.shape
     lens, bits = scan.symbolize_scan(coeffs, n_luma, restart)
@@ -158,6 +160,13 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
     markers and a total-byte count is appended to the return."""
     from jpegtpu.kernels import compact, entropy_pack
     n_luma = _n_luma(subsampling)
+    if img.ndim == 2 and subsampling != "gray":
+        # [H, W*3] flat-RGB parameter (production fast path): the host
+        # reshape is free, and a 2D jit parameter's device layout feeds
+        # the nat pixel kernel's row-slab view directly — the 3D
+        # parameter costs ~0.34 ms/4K of XLA relayout copies
+        # (scripts/tpu_probe_img2d.py, byte-identical, 420 + 444).
+        img = img.reshape(img.shape[0], -1, 3)
     fused_bp = _fused_bp_or_none(img, quality, subsampling, restart,
                                  bits_budget, use_fused, fuse_bp)
     if fused_bp is not None:
@@ -283,6 +292,8 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
     """
     from jpegtpu.kernels import compact, entropy_pack
     n_luma = _n_luma(subsampling)
+    if imgs.ndim == 3 and subsampling != "gray":
+        imgs = imgs.reshape(*imgs.shape[:2], -1, 3)   # flat-RGB batch
     fused_bp = _fused_bp_or_none(imgs, quality, subsampling, restart,
                                  bits_budget, use_fused, fuse_bp)
     if fused_bp is not None:
@@ -465,6 +476,11 @@ class Encoder:
     def _run_device(self, img: np.ndarray):
         h, w = img.shape[:2]
         fn, restart, kind = _jitted_encode((h, w), self.config)
+        # flat-RGB [H, W*3] parameter: free host reshape, saves ~0.34
+        # ms/4K of device relayout copies (the program accepts either
+        # form — _device_encode_pallas normalizes)
+        if img.ndim == 3:
+            img = img.reshape(h, -1)
         out = fn(jnp.asarray(img))
         if kind in ("scan", "stream"):
             stream, seg_bits, max_mcu = out[:3]
@@ -621,6 +637,8 @@ def encode_batch(imgs: Sequence[np.ndarray],
 def _encode_batch_fused(imgs: np.ndarray, cfg: EncoderConfig) -> List[bytes]:
     bsz, h, w = imgs.shape[:3]
     fn, restart, n_seg = _jitted_encode_batch(bsz, (h, w), cfg)
+    if imgs.ndim == 4:
+        imgs = imgs.reshape(bsz, h, -1)     # flat-RGB batch parameter
     out_dev = fn(jnp.asarray(imgs))
     stream, seg_bits, max_mcu = out_dev[:3]
     seg_bits_np = np.asarray(seg_bits)

@@ -101,12 +101,17 @@ def main():
     if not wait_for_tpu():
         return 2
     steps = [
-        ("bisect-v3", ["scripts/tpu_bisect.py", "v3"], 900, True),
+        # Current full queue (end of round 4): gates cover every
+        # HW-validated default (packed ps_at, gs=8 grouped compact,
+        # MCU grouping, divisor tile, flat-RGB parameter).
+        ("bisect-v3", ["scripts/tpu_bisect.py", "v3"], 1200, True),
+        ("bisect-r0", ["scripts/tpu_bisect.py", "r0"], 1200, True),
+        ("ab-compact-groups", ["scripts/tpu_ab_compact_groups.py"],
+         1800, True),
         ("check-mcu-group", ["scripts/tpu_check_mcu_group.py"], 1800,
          True),
-        ("probe-bp-floor", ["scripts/tpu_probe_bp_floor.py"], 1800,
-         False),
         ("ab-bp-place", ["scripts/tpu_ab_bp_place.py"], 1800, False),
+        ("probe-img2d", ["scripts/tpu_probe_img2d.py"], 1800, False),
         ("calibrate-roofline", ["scripts/tpu_calibrate_roofline.py"],
          1200, False),
         ("bench", ["bench.py"], 3600, False),

@@ -487,7 +487,15 @@ def mcu_group(g: int, bits_budget: int, mcus_per_seg: int) -> int:
     gray groups 8 (one chunk holds 8 grayscale MCU streams).
 
     Requires gm | mcus_per_seg so groups never straddle a restart
-    segment boundary. Returns a power of two in {1, 2, 4, 8}."""
+    segment boundary. Returns a power of two in {1, 2, 4, 8}.
+
+    JPEGTPU_FORCE_GM overrides the choice (A/B experiments only, e.g.
+    chunk-GROWING grouping: gm=4 at 444 doubles the merge chunk count
+    but halves seg_merge's serial appends — scripts/tpu_ab_gm4.py)."""
+    force = os.environ.get("JPEGTPU_FORCE_GM")
+    if force:
+        gm = int(force)
+        return gm if gm > 1 and mcus_per_seg % gm == 0 else 1
     chunks1, _ = mcu_capacity(g, bits_budget)
     for cand in (8, 4, 2):
         if mcus_per_seg % cand:

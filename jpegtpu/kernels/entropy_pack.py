@@ -496,6 +496,15 @@ def mcu_group(g: int, bits_budget: int, mcus_per_seg: int) -> int:
     if force:
         gm = int(force)
         return gm if gm > 1 and mcus_per_seg % gm == 0 else 1
+    # HW-validated chunk-GROWING override: 444 (g=3) at gm=4 runs with
+    # TWO stream chunks per unit — double the per-append vector work and
+    # merge gathers, but HALF the seg_merge serial appends of gm=2, and
+    # the latency win dominates: 8.51-8.72 -> 8.21-8.32 ms/4K 444,
+    # byte-identical (scripts/ab_gm4b.log 2026-08-20; gm=8 exceeds the
+    # block_pack scoped-VMEM budget, tested). Only the measured case is
+    # overridden; other geometries keep the chunk-free rule.
+    if g == 3 and mcus_per_seg % 4 == 0:
+        return 4
     chunks1, _ = mcu_capacity(g, bits_budget)
     for cand in (8, 4, 2):
         if mcus_per_seg % cand:

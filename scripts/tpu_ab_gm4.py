@@ -70,7 +70,7 @@ def main():
 
     fns = {}
     ref = None
-    for gm in (2, 4, 8):
+    for gm in (2, 4):
         if mps % gm:
             continue
         fn = build(gm)

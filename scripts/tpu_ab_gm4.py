@@ -30,16 +30,22 @@ def main():
     from jpegtpu.config import EncoderConfig
     log(f"backend {jax.default_backend()}")
 
+    sub = sys.argv[1] if len(sys.argv) > 1 else "444"
+    gms = [int(x) for x in (sys.argv[2:] or ["2", "4"])]
     h, w = 2160, 3840
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:h, 0:w]
     base = (128 + 60 * np.sin(xx / 97.0) * np.cos(yy / 53.0))
     img = np.clip(base[..., None] + rng.normal(0, 12, (h, w, 3)),
                   0, 255).astype(np.uint8)
-    imgd = jax.device_put(jnp.asarray(img.reshape(h, -1)))
+    if sub == "gray":
+        img = img[..., 0]
+        imgd = jax.device_put(jnp.asarray(img))
+    else:
+        imgd = jax.device_put(jnp.asarray(img.reshape(h, -1)))
     probe = jax.jit(lambda o: jnp.sum(o[1]) +
                     jnp.sum(o[0].reshape(-1)[::4099].astype(jnp.int32)))
-    cfg = EncoderConfig(quality=90, subsampling="444",
+    cfg = EncoderConfig(quality=90, subsampling=sub,
                         restart_interval="rows")
     restart, n_seg, mps = enc_mod._geometry((h, w), cfg)
 
@@ -70,7 +76,7 @@ def main():
 
     fns = {}
     ref = None
-    for gm in (2, 4):
+    for gm in gms:
         if mps % gm:
             continue
         fn = build(gm)
@@ -81,7 +87,7 @@ def main():
         sb = scan_bytes(out)
         if ref is None:
             ref = sb
-            log(f"gm=2: reference scan {len(sb)} B")
+            log(f"gm={gm}: reference scan {len(sb)} B")
         else:
             ok = sb == ref
             log(f"gm={gm}: bytes {'IDENTICAL' if ok else 'MISMATCH'}")

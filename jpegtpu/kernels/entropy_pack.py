@@ -87,12 +87,19 @@ _BP_ATTR_MODE = None
 _BP_PLACE_PACKED = os.environ.get("JPEGTPU_BP_PLACE_PACKED", "1") != "0"
 _BP_RANK6 = os.environ.get("JPEGTPU_BP_RANK6", "0") != "0"
 
-# seg_merge natural-layout input (candidate, HW gate pending —
-# scripts/tpu_ab_sm_nat.py): the kernel reads the padded
-# [n_seg_p, mps_p, CW] stream tensor directly via a (s_rows, mb, CW)
-# block + dynamic middle-index slices, skipping the [G, mps, S, CW]
-# XLA transpose copy (~0.4 ms/4K of glue; 2x the tensor at 444).
+# seg_merge natural-layout input: byte-identical on HW but COST-NEUTRAL
+# (the transpose it removes is already XLA-fused to 0.015-0.06 ms) —
+# tested-neutral result, default off (scripts/ab_sm_nat.log).
 _SM_NAT_INPUT = os.environ.get("JPEGTPU_SM_NAT", "0") != "0"
+
+# seg_merge MCU columns per serial iteration (jb batching — the same
+# latency-hiding axis as compact's kb and the 444 gm=4 grouping).
+# PRODUCTION DEFAULT 4 (HW A/B scripts/ab_sm_jb.log 2026-08-20:
+# byte-identical at jb 2/4 on 420 and 444; 420 4.14-4.44 -> 3.32-3.89
+# ms, 444(gm4) 8.19-8.29 -> 7.89-8.00 ms over 3 interleaved reps).
+# The safety bound in seg_merge_mcu clamps jb so jb*cap_bits < one
+# frame; jb also shrinks to divide mb.
+_SM_JB = int(os.environ.get("JPEGTPU_SM_JB", "4"))
 
 
 def _interpret() -> bool:
@@ -793,7 +800,7 @@ def _seg_merge_v3_kernel(mwords_ref, off_ref, len_ref, map_ref, out_ref,
                          win_ref, stage_ref, sem_out,
                          *, mb: int, m_steps: int, chunks: int, s_rows: int,
                          frames: int, mcu_major: bool = False,
-                         nat_input: bool = False):
+                         nat_input: bool = False, jb: int = 1):
     """Sublane-vectorized segment merge: S segments advance together.
 
     Each grid step (g, m) appends `mb` MCU streams to each of `s_rows`
@@ -832,57 +839,82 @@ def _seg_merge_v3_kernel(mwords_ref, off_ref, len_ref, map_ref, out_ref,
                                   w[half * 8 + k][srow:srow + 1, :], 0)
         return acc
 
-    def body(j, win):
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (jb * s_rows, 128), 1)
+
+    def body(i, win):
+        # jb MCU columns per serial iteration, stacked on sublanes
+        # ([jb*S, ...]): every per-MCU computation is independent given
+        # the XLA-precomputed offsets, so the batched form issues the
+        # same vector work in 1/jb the op count and touches the
+        # loop-carried window once per batch instead of once per MCU —
+        # the same latency-hiding batching as the compact kernel's kb
+        # and gm=4 at 444. SAFETY: per-MCU streams are capped at
+        # cap_bits (mcu_capacity; overruns escalate and the first-pass
+        # output is discarded), so jb*cap_bits < one 32768-bit frame
+        # guarantees at most ONE frame crossing per row per batch — a
+        # later sub-column can never wrap onto the half being flushed.
         win = list(win)
-        o = off_ref[0, j]                                # [S, 1] i32
-        l = len_ref[0, j]                                # [S, 1]
-        # mcu-major mode blocks are [mb, 1, S, CW] (j outermost);
-        # nat_input blocks are the NATURAL [S, mb, CW] layout (no XLA
-        # transpose of the stream tensor) — [:, j, :] slices the same
-        # [S, CW] rows via a dynamic middle index
+        j0 = i * jb
+
+        def sub(ref3):
+            if jb == 1:
+                return ref3(j0)
+            return jnp.concatenate([ref3(j0 + t) for t in range(jb)])
+
+        o_b = sub(lambda j: off_ref[0, j])               # [jb*S, 1] i32
+        l_b = sub(lambda j: len_ref[0, j])
         if nat_input:
-            s = mwords_ref[:, j, :]                      # [S, CW]
+            s_b = sub(lambda j: mwords_ref[:, j, :])     # [jb*S, CW]
+        elif mcu_major:
+            s_b = sub(lambda j: mwords_ref[j, 0])
         else:
-            s = mwords_ref[j, 0] if mcu_major else mwords_ref[0, j]
-        r = (o & 31).astype(jnp.uint32)
+            s_b = sub(lambda j: mwords_ref[0, j])
+        r = (o_b & 31).astype(jnp.uint32)
 
         # funnel shift right by r bits across the whole stream (branch-free
         # carry: (x<<1)<<((31-r)&31) == x<<(32-r) for r>=1, 0 for r==0)
         shifted = []
-        prev_last = jnp.zeros((s_rows, 1), jnp.uint32)
+        prev_last = jnp.zeros((jb * s_rows, 1), jnp.uint32)
         for c in range(chunks):
-            ch = s[:, c * 128:(c + 1) * 128]
+            ch = s_b[:, c * 128:(c + 1) * 128]
             rolled1 = pltpu.roll(ch, 1, axis=1)
-            carry_in = jnp.where(lane == 0, prev_last, rolled1)
+            carry_in = jnp.where(lane_b == 0, prev_last, rolled1)
             sh = jnp.right_shift(ch, r) | \
                 jnp.left_shift(jnp.left_shift(carry_in, 1), (31 - r) & 31)
             shifted.append(sh)
             prev_last = ch[:, 127:128]
 
         # per-row lane rotation to the window-local position
-        p_abs = o >> 5                                   # word offset [S,1]
+        p_abs = o_b >> 5                                 # word offset
         mrot = p_abs & 127
-        idx = (lane - mrot) & 127
+        idx = (lane_b - mrot) & 127
         rot = [pltpu.bitcast(
             jnp.take_along_axis(pltpu.bitcast(sh, jnp.int32), idx, axis=1),
             jnp.uint32) for sh in shifted]
-        hi = [jnp.where(lane >= mrot, rc, 0) for rc in rot]
-        lo = [jnp.where(lane < mrot, rc, 0) for rc in rot]
+        hi = [jnp.where(lane_b >= mrot, rc, 0) for rc in rot]
+        lo = [jnp.where(lane_b < mrot, rc, 0) for rc in rot]
 
-        pw = (p_abs >> 7)                                # chunk index [S,1]
+        pw = (p_abs >> 7)                                # chunk index
         for w in range(nwin):
-            acc = win[w]
+            sel = jnp.zeros((jb * s_rows, 128), jnp.uint32)
             for c in range(chunks):
-                acc = acc | jnp.where(((pw + c) & (nwin - 1)) == w,
+                sel = sel | jnp.where(((pw + c) & (nwin - 1)) == w,
                                       hi[c], 0)
-                acc = acc | jnp.where(((pw + c + 1) & (nwin - 1)) == w,
+                sel = sel | jnp.where(((pw + c + 1) & (nwin - 1)) == w,
                                       lo[c], 0)
-            win[w] = acc
+            fold = sel[0:s_rows, :]
+            for t in range(1, jb):                       # sublane fold
+                fold = fold | sel[t * s_rows:(t + 1) * s_rows, :]
+            win[w] = win[w] | fold
 
-        # flush completed frames (rare; bitmap precomputed in XLA; two
-        # 32-bit words so s_rows=64 fits)
-        mp0 = map_ref[0, j, 0, 0]
-        mp1 = map_ref[0, j, 0, 1]
+        # flush completed frames (rare; bitmaps OR'd over the batch; two
+        # 32-bit words so s_rows=64 fits). With <=1 crossing per batch
+        # the completed frame is the batch's STARTING frame per row.
+        mp0 = map_ref[0, j0, 0, 0]
+        mp1 = map_ref[0, j0, 0, 1]
+        for t in range(1, jb):
+            mp0 = mp0 | map_ref[0, j0 + t, 0, 0]
+            mp1 = mp1 | map_ref[0, j0 + t, 0, 1]
 
         @pl.when((mp0 | mp1) != 0)
         def _():
@@ -891,7 +923,7 @@ def _seg_merge_v3_kernel(mwords_ref, off_ref, len_ref, map_ref, out_ref,
 
                 @pl.when(((mp_w >> (srow & 31)) & 1) != 0)
                 def _(srow=srow):
-                    o_s = off_ref[0, j, srow, 0]
+                    o_s = off_ref[0, j0, srow, 0]
                     f = o_s >> 15                        # frame completed
                     f_safe = jnp.minimum(f, frames - 1)  # budget overflow
                     seg = g_id * s_rows + srow
@@ -910,15 +942,19 @@ def _seg_merge_v3_kernel(mwords_ref, off_ref, len_ref, map_ref, out_ref,
                     cp.start()
                     cp.wait()
 
-        # retire the flushed half so it can host frame f+2
-        fstart = o >> 15
-        crossed = ((o + l) >> 15) > fstart               # [S,1] bool
+        # retire the flushed half so it can host frame f+2 (crossing
+        # detected over the whole batch span; monotone offsets)
+        fstart = o_b[0:s_rows, :] >> 15
+        o_end = (o_b[(jb - 1) * s_rows:, :] +
+                 l_b[(jb - 1) * s_rows:, :])
+        crossed = (o_end >> 15) > fstart                 # [S,1] bool
         parity = fstart & 1
         for w in range(nwin):
             win[w] = jnp.where(crossed & (parity == (w // 8)), 0, win[w])
         return tuple(win)
 
-    win = jax.lax.fori_loop(0, mb, body, tuple(win))
+    assert mb % jb == 0
+    win = jax.lax.fori_loop(0, mb // jb, body, tuple(win))
     win = list(win)
 
     # Final grid step per group: 1-pad the last byte (T.81 F.1.2.3) and
@@ -1131,10 +1167,21 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
                                memory_space=pltpu.VMEM)
 
     frames = -(-w_cap // 1024) + 1
+    # MCU columns per serial iteration (candidate, HW gate pending —
+    # scripts/tpu_ab_sm_jb.py). Safety: per-MCU streams are capped at
+    # cap_bits (overruns escalate; first-pass bytes discarded), so
+    # jb*cap_bits < one frame (32768 bits) keeps the <=1-crossing-per-
+    # batch invariant the 2-frame window needs. jb must divide mb.
+    jb = 1
+    if _SM_JB > 1:
+        cap_bits = (chunks * 128 - 2) * 32
+        jb = min(_SM_JB, max(1, (32768 - 1) // cap_bits))
+        while mb % jb:
+            jb -= 1
     kernel = functools.partial(
         _seg_merge_v3_kernel, mb=mb, m_steps=m_steps, chunks=chunks,
         s_rows=s_rows, frames=frames, mcu_major=mcu_major,
-        nat_input=nat_input)
+        nat_input=nat_input, jb=jb)
     out = pl.pallas_call(
         kernel,
         grid=(n_groups, m_steps),

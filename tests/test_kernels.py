@@ -1187,3 +1187,53 @@ def test_seg_merge_nat_input_bit_identical():
     got = ep.seg_merge_mcu(mw, ml, n_seg, mps, w_cap, nat_input=True)
     for a, b in zip(ref, got):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("jb", [2, 4])
+def test_seg_merge_jb_batching_bit_identical(jb, monkeypatch):
+    """jb MCU columns per serial seg_merge iteration (round-4 candidate)
+    must be bit-identical to the jb=1 form — streams zero-padded beyond
+    their bit length like block_pack emits them."""
+    rng = np.random.default_rng(7)
+    n_seg, mps, g = 9, 40, 6
+    nm = n_seg * mps
+    mwn = rng.integers(0, 1 << 32, (nm, 128),
+                       dtype=np.uint64).astype(np.uint32).copy()
+    ml_np = rng.integers(1, 3600, nm).astype(np.int32)
+    for i, ln in enumerate(ml_np):
+        wfull = -(-int(ln) // 32)
+        mwn[i, wfull:] = 0
+        rb = int(ln) % 32
+        if rb:
+            mwn[i, wfull - 1] &= np.uint32(
+                (0xFFFFFFFF << (32 - rb)) & 0xFFFFFFFF)
+    mw, ml = jnp.asarray(mwn), jnp.asarray(ml_np)
+    w_cap = -(-mps * g * 384 // 32)
+    ref = ep.seg_merge_mcu(mw, ml, n_seg, mps, w_cap)
+    monkeypatch.setattr(ep, "_SM_JB", jb)
+    got = ep.seg_merge_mcu(mw, ml, n_seg, mps, w_cap)
+    for a, b in zip(ref, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_encoder_seg_merge_jb_end_to_end(monkeypatch):
+    import jpegtpu.encoder as enc_mod
+    import jpegtpu.kernels.entropy_pack as epk
+    from jpegtpu.config import EncoderConfig
+    from jpegtpu.kernels import fused_dctq
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (64, 128, 3), dtype=np.uint8)
+    cfg = EncoderConfig(quality=85, subsampling="420",
+                        restart_interval="rows")
+    ref = enc_mod.Encoder(cfg).encode(img)
+    monkeypatch.setattr(enc_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(epk, "_interpret", lambda: True)
+    monkeypatch.setattr(fused_dctq, "_interpret", lambda: True)
+    monkeypatch.setattr(epk, "_SM_JB", 4)
+    enc_mod._jitted_encode.cache_clear()
+    try:
+        got = enc_mod.Encoder(cfg).encode(img)
+    finally:
+        enc_mod._jitted_encode.cache_clear()
+    assert got == ref

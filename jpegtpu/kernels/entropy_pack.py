@@ -94,12 +94,13 @@ _SM_NAT_INPUT = os.environ.get("JPEGTPU_SM_NAT", "0") != "0"
 
 # seg_merge MCU columns per serial iteration (jb batching — the same
 # latency-hiding axis as compact's kb and the 444 gm=4 grouping).
-# PRODUCTION DEFAULT 4 (HW A/B scripts/ab_sm_jb.log 2026-08-20:
-# byte-identical at jb 2/4 on 420 and 444; 420 4.14-4.44 -> 3.32-3.89
-# ms, 444(gm4) 8.19-8.29 -> 7.89-8.00 ms over 3 interleaved reps).
-# The safety bound in seg_merge_mcu clamps jb so jb*cap_bits < one
-# frame; jb also shrinks to divide mb.
-_SM_JB = int(os.environ.get("JPEGTPU_SM_JB", "4"))
+# PRODUCTION DEFAULT 8 (HW A/B scripts/ab_sm_jb.log + ab_sm_jb8.log
+# 2026-08-20: byte-identical at jb 2/4/8 on 420 and 444; 420 4.14-4.44
+# -> 3.32-3.89 ms at jb=4 and a further ~3% at jb=8; 444(gm4)
+# 8.19-8.29 -> ~7.9 ms — its chunks=2 capacity clamps jb to 4). The
+# safety bound in seg_merge_mcu clamps jb so jb*cap_bits < one frame;
+# jb also shrinks to divide mb.
+_SM_JB = int(os.environ.get("JPEGTPU_SM_JB", "8"))
 
 
 def _interpret() -> bool:

@@ -58,7 +58,7 @@ def main():
                             restart_interval="rows")
         fns = {}
         ref = None
-        for jbv in (1, 2, 4):
+        for jbv in (1, 2, 4, 8):
             ep._SM_JB = jbv
             try:
                 enc_mod._jitted_encode.cache_clear()

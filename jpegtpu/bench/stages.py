@@ -206,9 +206,25 @@ def speedup_table(img: np.ndarray, cfg: EncoderConfig,
     dev_total = times.device_total
     cpu_total = sum(cpu.values()) if cpu else cpu_reference_time(img, cfg)
     if cpu_total:
-        row("device total (production)", dev_total, cpu_total)
+        row("sum of isolated stages", dev_total, cpu_total)
+    # The honest production number: ONE pipelined device program
+    # (stage-isolated timings above include per-kernel launch scaffolding
+    # and none of the cross-kernel overlap — since round 4 they sum to
+    # ~2.5x the pipelined frame time).
+    try:
+        from jpegtpu.encoder import _jitted_encode
+        h = img.shape[0]
+        fn, _, _ = _jitted_encode(img.shape[:2], cfg)
+        img_in = img if cfg.subsampling == "gray" else img.reshape(h, -1)
+        piped = _sync_time(fn, jax.device_put(jnp.asarray(img_in)))
+        if cpu_total:
+            row("pipelined device program", piped, cpu_total)
+    except Exception:
+        pass
+    if cpu_total:
         lines.append("  (oracle:* rows are stage-isolated XLA diagnostics, "
                      "fused away in production; pixel_path_fused's CPU "
                      "column sums the pad+csc+subsample+dct+quant passes "
-                     "it replaces; host:* includes the device->host link)")
+                     "it replaces; host:* includes the device->host link; "
+                     "the pipelined row is the production frame time)")
     return "\n".join(lines)

@@ -111,6 +111,9 @@ def main():
         ("check-mcu-group", ["scripts/tpu_check_mcu_group.py"], 1800,
          True),
         ("ab-bp-place", ["scripts/tpu_ab_bp_place.py"], 1800, False),
+        ("ab-sm-jb", ["scripts/tpu_ab_sm_jb.py"], 2400, True),
+        ("ab-gm4-444", ["scripts/tpu_ab_gm4.py", "444", "2", "4"], 1800,
+         True),
         ("probe-img2d", ["scripts/tpu_probe_img2d.py"], 1800, False),
         ("calibrate-roofline", ["scripts/tpu_calibrate_roofline.py"],
          1200, False),

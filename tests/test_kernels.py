@@ -1237,3 +1237,29 @@ def test_encoder_seg_merge_jb_end_to_end(monkeypatch):
     finally:
         enc_mod._jitted_encode.cache_clear()
     assert got == ref
+
+
+def test_seg_merge_jb_odd_mb_clamp_bit_identical(monkeypatch):
+    """Odd mps (mb=45) clamps jb to a non-power divisor (5); output must
+    stay bit-identical to jb=1."""
+    rng = np.random.default_rng(11)
+    n_seg, mps, g = 9, 45, 6
+    nm = n_seg * mps
+    mwn = rng.integers(0, 1 << 32, (nm, 128),
+                       dtype=np.uint64).astype(np.uint32).copy()
+    ml_np = rng.integers(1, 3600, nm).astype(np.int32)
+    for i, ln in enumerate(ml_np):
+        wfull = -(-int(ln) // 32)
+        mwn[i, wfull:] = 0
+        rb = int(ln) % 32
+        if rb:
+            mwn[i, wfull - 1] &= np.uint32(
+                (0xFFFFFFFF << (32 - rb)) & 0xFFFFFFFF)
+    mw, ml = jnp.asarray(mwn), jnp.asarray(ml_np)
+    w_cap = -(-mps * g * 384 // 32)
+    monkeypatch.setattr(ep, "_SM_JB", 1)
+    ref = ep.seg_merge_mcu(mw, ml, n_seg, mps, w_cap)
+    monkeypatch.setattr(ep, "_SM_JB", 8)
+    got = ep.seg_merge_mcu(mw, ml, n_seg, mps, w_cap)
+    for a, b in zip(ref, got):
+        assert np.array_equal(np.asarray(a), np.asarray(b))

@@ -118,6 +118,6 @@ def test_speedup_table_populates_cpu_columns():
     table = stages.speedup_table(img, cfg)
     for row in ("oracle:csc", "oracle:pad", "oracle:subsample",
                 "pixel_path_fused", "entropy total (device)",
-                "device total (production)"):
+                "sum of isolated stages", "pipelined device program"):
         line = next(ln for ln in table.splitlines() if row in ln)
         assert line.rstrip().endswith("x"), line

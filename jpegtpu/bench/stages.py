@@ -219,8 +219,10 @@ def speedup_table(img: np.ndarray, cfg: EncoderConfig,
         piped = _sync_time(fn, jax.device_put(jnp.asarray(img_in)))
         if cpu_total:
             row("pipelined device program", piped, cpu_total)
-    except Exception:
-        pass
+    except Exception as e:  # pragma: no cover - diagnostic path
+        # This row is the honest production number; never drop it silently.
+        lines.append(f"  pipelined device program: FAILED "
+                     f"({type(e).__name__}: {e})")
     if cpu_total:
         lines.append("  (oracle:* rows are stage-isolated XLA diagnostics, "
                      "fused away in production; pixel_path_fused's CPU "

@@ -75,7 +75,12 @@ class EncoderConfig:
         default_factory=lambda: os.environ.get("JPEGTPU_FUSE_BP", "0") != "0")
     # Chunks per serial iteration in the device stuffing kernel (1 =
     # round-2 single-chunk kernel; 3 = production latency-hiding batch,
-    # HW A/B scripts/tpu_ab_compact_kb.py; 4..6 tested negative).
+    # HW A/B scripts/tpu_ab_compact_kb.py; 4 exercises the wf=16 window
+    # variant, tested negative for speed). 5..6 also measured slower and
+    # are NOT selectable (untested codepaths — VERDICT r4 #5). NOTE:
+    # with compact_groups > 1 (the default) the grouped kernel clamps
+    # kb to <= 3 (its window holds 8 frames), so kb=4 only takes effect
+    # when compact_groups == 1.
     compact_kb: int = dataclasses.field(
         default_factory=lambda: int(os.environ.get("JPEGTPU_COMPACT_KB", "3")))
     # Rotate-select MCU merge in block_pack. TESTED NEGATIVE (cost-neutral).
@@ -117,9 +122,9 @@ class EncoderConfig:
             raise ValueError(
                 f"pixel_path must be 'nat', 'xla' or 'dma', "
                 f"got {self.pixel_path!r}")
-        if not (1 <= self.compact_kb <= 6):
+        if not (1 <= self.compact_kb <= 4):
             raise ValueError(
-                f"compact_kb must be in 1..6, got {self.compact_kb}")
+                f"compact_kb must be in 1..4, got {self.compact_kb}")
         if not (1 <= self.compact_groups <= 64):
             raise ValueError(
                 f"compact_groups must be in 1..64, got "

@@ -172,9 +172,9 @@ def compact_segments(seg_words: jax.Array, seg_bits: jax.Array,
         kernel,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n_seg * f, 8, 128), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((8, 128), jnp.uint32),
@@ -896,9 +896,9 @@ def compact_segments_stuffed(seg_words: jax.Array, seg_bits: jax.Array,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # seg_end
             pl.BlockSpec(memory_space=pltpu.VMEM),   # nchunks
             pl.BlockSpec(memory_space=pltpu.VMEM),   # marker bytes
-            pl.BlockSpec(memory_space=pltpu.ANY),    # frames
+            pl.BlockSpec(memory_space=pl.ANY),    # frames
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((out_frames, 8, 128), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((2, 8, 128), jnp.uint32) if kb == 1 else
@@ -1241,7 +1241,11 @@ def compact_segments_stuffed_grouped(seg_words: jax.Array,
     f = frames_per_seg
     gs = int(groups)
     kb = _COMPACT_KB if k_chunks is None else k_chunks
-    kb = min(kb, 3)                       # grouped kernel: 8-frame window
+    # Grouped kernel clamps kb to <= 3: its double-buffered window holds
+    # 8 frames, so kb=4 (wf=16) is single-chain only. Documented on
+    # EncoderConfig.compact_kb — a user-set kb=4 with compact_groups>1
+    # silently runs kb=3 (output is byte-identical either way).
+    kb = min(kb, 3)
     assert gs >= 1 and 1 <= kb <= 3
     spi = segs_per_image or n_seg
     assert n_seg % spi == 0
@@ -1311,8 +1315,8 @@ def compact_segments_stuffed_grouped(seg_words: jax.Array,
     out = pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 11 +
-                 [pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+                 [pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((gs * capf, 8, 128), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((2, gs, kb, 8, 128), jnp.uint32),

@@ -363,7 +363,7 @@ def _place_pair(v_hi, v_lo, wt, k, half):
         psl = _prefix64_mm(vl, bd)
 
         if _BP_PLACE_PACKED and _BP_ATTR_MODE != "nopsat":
-            # Packed-plane variant (candidate, HW gate pending): the
+            # Packed-plane variant (production default, HW byte-gated): the
             # per-word plane DIFFS are exact 16-bit values (bits within
             # one output word are disjoint, so each plane's sum over a
             # rank range <= 0xFFFF), so prefix sums mod 2^16 suffice —
@@ -371,8 +371,11 @@ def _place_pair(v_hi, v_lo, wt, k, half):
             # call instead of once per plane. Mod-2^16 subtraction of
             # mod-2^16 prefix reductions is exact for in-range diffs.
             # CAUTION: int32 vector math in this kernel has a miscompile
-            # history in-context (module docstring / place() note) —
-            # default off until scripts/tpu_ab_bp_place.py byte-gates it.
+            # history in-context (module docstring / place() note). The
+            # HW byte gate HAS run (scripts/tpu_ab_bp_place.py,
+            # 2026-08-20, all combos byte-identical) and this variant is
+            # the production default — but RE-GATE with the full bisect
+            # ladder after any toolchain/jax upgrade.
             ph = psh.astype(jnp.int32)
             plo = psl.astype(jnp.int32)
             packed = jnp.left_shift(ph, 16) | (plo & 0xFFFF)
@@ -495,11 +498,17 @@ def mcu_group(g: int, bits_budget: int, mcus_per_seg: int) -> int:
     gray groups 8 (one chunk holds 8 grayscale MCU streams).
 
     Requires gm | mcus_per_seg so groups never straddle a restart
-    segment boundary. Returns a power of two in {1, 2, 4, 8}.
+    segment boundary. The auto rule returns a power of two in
+    {1, 2, 4, 8}; the one HW-validated exception (444 chunk-growing
+    gm=4 below) is also a power of two.
 
-    JPEGTPU_FORCE_GM overrides the choice (A/B experiments only, e.g.
-    chunk-GROWING grouping: gm=4 at 444 doubles the merge chunk count
-    but halves seg_merge's serial appends — scripts/tpu_ab_gm4.py)."""
+    JPEGTPU_FORCE_GM is an UNCHECKED experiment-only escape hatch for
+    A/B probes (e.g. scripts/tpu_ab_gm4.py): any divisor of
+    mcus_per_seg is accepted — including non-powers-of-two — and the
+    chunk-capacity rule is bypassed entirely, so a forced gm can exceed
+    the block_pack scoped-VMEM budget and fail to compile (gm=8 at 444
+    does, measured). Never set it outside probe scripts; production
+    paths must rely on the auto rule."""
     force = os.environ.get("JPEGTPU_FORCE_GM")
     if force:
         gm = int(force)
@@ -1195,7 +1204,7 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
             pl.BlockSpec((1, mb, 1, 2), lambda gi, mi: (gi, mi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n_seg_p * frames, 8, 128),
                                        jnp.uint32),
         scratch_shapes=[

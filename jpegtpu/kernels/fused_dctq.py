@@ -302,7 +302,7 @@ def encode_blocks_pallas_dma_pairs(img: jax.Array, quality: int,
         kernel,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # image stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # image stays in HBM
             pl.BlockSpec((in_dim, out_dim), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, out_dim), lambda i: (0, 0),

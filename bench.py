@@ -69,9 +69,13 @@ def supervise() -> int:
         print(f"[bench] attempt {attempt}/{len(BACKOFFS)} "
               f"(axon listener {mode})", file=sys.stderr, flush=True)
         try:
+            args = [sys.executable, "-u", os.path.abspath(__file__),
+                    "--run"]
+            if "--stream" in sys.argv:
+                args.append("--stream")
             p = subprocess.run(
-                [sys.executable, "-u", os.path.abspath(__file__), "--run"],
-                timeout=ATTEMPT_TIMEOUT, capture_output=True, text=True)
+                args, timeout=ATTEMPT_TIMEOUT, capture_output=True,
+                text=True)
         except subprocess.TimeoutExpired as e:
             print(f"[bench] attempt {attempt} timed out after "
                   f"{ATTEMPT_TIMEOUT}s (tunnel wedge?)", file=sys.stderr,
@@ -191,6 +195,52 @@ def run_bench() -> int:
         outs = [fn(imgd) for _ in range(k)]
         float(probe(outs[-1]))
         return time.perf_counter() - t0
+
+    if "--stream" in sys.argv:
+        # Sustained image-STREAM mode (BASELINE config 5's single-chip
+        # stand-in, VERDICT r4 #8): N DISTINCT frames round-robin over a
+        # device-resident 4-frame ring, dispatched back-to-back with one
+        # dependent scalar fetch at the end. Distinct content defeats
+        # any same-input caching illusion and exercises steady-state
+        # dispatch; frames are device-resident because the tunnel's
+        # host<->device link runs at a few MB/s (a 25 MB/frame upload
+        # would benchmark the tunnel — on a real v5e host the PCIe
+        # upload overlaps compute; same exclusion argument as the
+        # headline). The 1-frame chain subtraction removes the fixed
+        # dispatch+fetch round trip exactly as the headline does, so
+        # the two numbers are directly comparable: a sustained number
+        # below the per-frame one exposes dispatch-gap loss.
+        n_stream = int(os.environ.get("JPEGTPU_BENCH_STREAM", "20"))
+        ring = [imgd]
+        for i in range(1, 4):
+            alt = np.clip(
+                np.roll(base, 173 * i, axis=1)[..., None] +
+                rng.normal(0, 12, (h, w, 3)), 0, 255).astype(np.uint8)
+            ring.append(jax.device_put(jnp.asarray(alt.reshape(h, -1))))
+        for fr in ring[1:]:
+            float(probe(fn(fr)))            # warm (same shape, one trace)
+
+        def stream_chain(k):
+            t0 = time.perf_counter()
+            outs = [fn(ring[i % 4]) for i in range(k)]
+            float(probe(outs[-1]))
+            return time.perf_counter() - t0
+
+        d1 = min(stream_chain(1) for _ in range(3))
+        dn = min(stream_chain(n_stream + 1) for _ in range(3))
+        dt = (dn - d1) / n_stream
+        sustained = (h * w) / dt / 1e6
+        print(json.dumps({
+            "metric": f"encode_stream_sustained_{h}x{w}_q90_420_device",
+            "value": round(sustained, 2),
+            "unit": "MPix/s/chip",
+            "vs_baseline": round(sustained / 80.0, 3),
+            "sustained_mpixps": round(sustained, 2),
+            "frames": n_stream,
+            "distinct_frames": 4,
+            "psnr_db": round(psnr, 2),
+        }))
+        return 0
 
     d1 = min(chain(1) for _ in range(3))
     d21 = min(chain(21) for _ in range(3))

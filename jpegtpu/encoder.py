@@ -59,25 +59,32 @@ def _pixel_path(img, quality: str, subsampling: str, use_fused: bool):
 
 
 def _pixel_path_pairs(img, quality: str, subsampling: str, use_fused: bool,
-                      pixel_path: str = "nat"):
+                      pixel_path: str = "nat", with_dc: bool = False):
     """Pixel path for the Pallas production programs, in the pairs/native
     layout [..., nMCU, B*64] (block-major columns). On supported
     geometries this is the in-VMEM tiling Pallas kernel — bit-identical
     to the fused XLA twin, which the oracle path keeps (architecture
     invariant: every Pallas kernel has an XLA oracle twin). The form
-    feeds entropy_pack.block_pack_mcu_pairs with zero relayout."""
+    feeds entropy_pack.block_pack_mcu_pairs with zero relayout.
+
+    with_dc: also return the kernel-emitted [..., nMCU, 8] DC plane (or
+    None when the selected path cannot emit one — callers fall back to
+    slicing coeffs[:, ::64])."""
     from jpegtpu.kernels import fused_dctq
     if use_fused:
         if pixel_path == "dma":
-            return fused_dctq.encode_blocks_pallas_dma_pairs(
+            y = fused_dctq.encode_blocks_pallas_dma_pairs(
                 img, quality, subsampling)
+            return (y, None) if with_dc else y
         if pixel_path == "nat":
             return fused_dctq.encode_blocks_pallas_nat_pairs(
-                img, quality, subsampling)
-        return fused_dctq.encode_blocks_pairs(img, quality, subsampling)
+                img, quality, subsampling, with_dc=with_dc)
+        y = fused_dctq.encode_blocks_pairs(img, quality, subsampling)
+        return (y, None) if with_dc else y
     c = ops.encode_blocks(img, quality, subsampling)
     *b, n_mcu, nb, _ = c.shape
-    return c.reshape(*b, n_mcu, nb * 64)
+    y = c.reshape(*b, n_mcu, nb * 64)
+    return (y, None) if with_dc else y
 
 
 def _n_luma(subsampling: str) -> int:
@@ -172,12 +179,20 @@ def _device_encode_pallas(img, *, quality, subsampling, restart, n_seg,
     if fused_bp is not None:
         _fused_mw, _fused_ml, n_mcu, b = fused_bp
     else:
-        coeffs = _pixel_path_pairs(img, quality, subsampling, use_fused,
-                                   pixel_path)
+        from jpegtpu.kernels import fused_dctq as _fdq
+        if _fdq._PIXEL_DC:
+            coeffs, dc_plane = _pixel_path_pairs(img, quality, subsampling,
+                                                 use_fused, pixel_path,
+                                                 with_dc=True)
+        else:
+            coeffs = _pixel_path_pairs(img, quality, subsampling,
+                                       use_fused, pixel_path)
+            dc_plane = None
         n_mcu, bx64 = coeffs.shape
         b = bx64 // 64
-        dcd = scan.dc_diffs_from_dc(coeffs[:, ::64], n_luma,
-                                    restart).reshape(-1)
+        dc_src = (dc_plane[:, :b] if dc_plane is not None
+                  else coeffs[:, ::64])
+        dcd = scan.dc_diffs_from_dc(dc_src, n_luma, restart).reshape(-1)
         cls = (jnp.arange(n_mcu * b, dtype=jnp.int32) % b >= n_luma)
     bps = mcus_per_seg * b
     w_cap = -(-bps * bits_budget // 32)
@@ -300,13 +315,21 @@ def _device_encode_pallas_batch(imgs, *, quality, subsampling, restart,
         mwords, mlens, _nm_tot, b = fused_bp
         bsz = imgs.shape[0]
     else:
-        coeffs = _pixel_path_pairs(imgs, quality, subsampling, use_fused,
-                                   pixel_path)
+        from jpegtpu.kernels import fused_dctq as _fdq
+        if _fdq._PIXEL_DC:
+            coeffs, dc_plane = _pixel_path_pairs(imgs, quality, subsampling,
+                                                 use_fused, pixel_path,
+                                                 with_dc=True)
+        else:
+            coeffs = _pixel_path_pairs(imgs, quality, subsampling,
+                                       use_fused, pixel_path)
+            dc_plane = None
         bsz, n_mcu, bx64 = coeffs.shape
         b = bx64 // 64
         flat = coeffs.reshape(bsz * n_mcu, bx64)
-        dcd = scan.dc_diffs_from_dc(flat[:, ::64], n_luma,
-                                    restart).reshape(-1)
+        dc_src = (dc_plane.reshape(bsz * n_mcu, -1)[:, :b]
+                  if dc_plane is not None else flat[:, ::64])
+        dcd = scan.dc_diffs_from_dc(dc_src, n_luma, restart).reshape(-1)
         cls = (jnp.arange(bsz * n_mcu * b, dtype=jnp.int32) % b >= n_luma)
     bps = mcus_per_seg * b
     w_cap = -(-bps * bits_budget // 32)

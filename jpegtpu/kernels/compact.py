@@ -247,6 +247,72 @@ _COMPACT_ATTR_MODE = None
 # toolchains. Env override: JPEGTPU_COMPACT_P2=1 enables the skip.
 _COMPACT_SKIP_P2 = os.environ.get("JPEGTPU_COMPACT_P2", "0") != "0"
 
+# Round-5 candidate: MXU one-hot window placement. The serial backbone of
+# the stuffing kernels is place_rows' per-source-row fold into the window
+# (2 chained OR-selects per row -> 144 dependent [wr_n,128] ops per
+# iteration at kb=3): the window row scatter is really a tiny matmul —
+# contrib = onehot[wr_n, R] @ rotated_planes[R, 128] — which runs on the
+# MXU (idle in this kernel) with a ~6-op critical path, then ONE OR into
+# the window. Exactness: every (window row, lane) cell receives at most
+# one nonzero contribution (valid word targets are strictly increasing
+# across the iteration's chunks and planes; rotated lanes outside a
+# row's span are zero), so the f32 dot's sums are single-term and the
+# 16-bit halves reassemble the exact u32 — OR == ADD on disjoint values.
+# Env override until HW byte-gated: JPEGTPU_COMPACT_MM=0 disables.
+_COMPACT_MM_PLACE = os.environ.get("JPEGTPU_COMPACT_MM", "1") != "0"
+
+# Round-5 companion cut: single-mask window zeroing in flush_and_zero.
+# The fold form zeroes flushed frames with 2kb+1 sequential selects on
+# the window; since an iteration flushes at most 2kb+1 < wf distinct
+# frame slots, one modular-distance mask zeroes them all in a single
+# select: rel = (slot - f0) mod wf < (f1 - f0). Byte-identical by
+# construction (same rows zeroed); HW-gated with the MM placement.
+_COMPACT_ZMASK = os.environ.get("JPEGTPU_COMPACT_ZMASK", "1") != "0"
+
+
+def _mm_place_contrib(planes_list, tvec_list, wr_n: int):
+    """One-hot-matmul window placement: per (planes [k,128] u32, t_vec
+    [k,1] absolute out-word targets) pair, rotate each row to its
+    in-window lane position, then scatter rows onto the [wr_n, 128]
+    window via ONE f32 matmul pair instead of a chained per-row fold.
+    Returns the window contribution to OR in (see _COMPACT_MM_PLACE)."""
+    srcs, tgts = [], []
+    for planes, t_vec in zip(planes_list, tvec_list):
+        k = planes.shape[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (k, 128), 1)
+        m = t_vec & 127
+        idx = (lane - m) & 127
+        rot = pltpu.bitcast(
+            jnp.take_along_axis(pltpu.bitcast(planes, jnp.int32), idx,
+                                axis=1), jnp.uint32)
+        hi = jnp.where(lane >= m, rot, 0)
+        lo = jnp.where(lane < m, rot, 0)
+        wr = t_vec >> 7
+        srcs += [hi, lo]
+        tgts += [wr & (wr_n - 1), (wr + 1) & (wr_n - 1)]
+    src = jnp.concatenate(srcs, axis=0)                 # [R, 128] u32
+    tgt = jnp.concatenate(tgts, axis=0)                 # [R, 1] i32
+    rr = src.shape[0]
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (rr, wr_n), 1)
+    a = (lane_w == tgt).astype(jnp.float32)             # onehot^T [R, wr_n]
+    si = pltpu.bitcast(src, jnp.int32)
+    s_hi = (jnp.right_shift(si, 16) & 0xFFFF).astype(jnp.float32)
+    s_lo = (si & 0xFFFF).astype(jnp.float32)
+    dn = (((0,), (0,)), ((), ()))                       # a^T @ s
+    # Precision.HIGHEST is required for exactness: the default bf16 MXU
+    # pass truncates the 16-bit value halves (HW-corrupt while interpret
+    # stays bit-exact — the _prefix64_mm lesson, relearned here on the
+    # first HW gate run of this kernel).
+    c_hi = jax.lax.dot_general(a, s_hi, dn,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+    c_lo = jax.lax.dot_general(a, s_lo, dn,
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+    contrib = (jnp.left_shift(c_hi.astype(jnp.int32), 16) |
+               c_lo.astype(jnp.int32))
+    return pltpu.bitcast(contrib, jnp.uint32)
+
 
 def _compact_stuff_kernel(off_ref, slen_ref, innb_ref, send_ref, nch_ref,
                           mnum_ref, frames_ref, out_ref, chunk_ref,
@@ -643,8 +709,15 @@ def _compact_stuff_kernel_kb(off_ref, slen_ref, innb_ref, send_ref,
             @pl.when(fi < f1)
             def _(fi=fi):
                 flush_frame(win0, fi)
-            zmask = (fi < f1) & ((suw >> 3) == (fi & (wf - 1)))
-            win = jnp.where(zmask, 0, win)
+            if not _COMPACT_ZMASK:
+                zmask = (fi < f1) & ((suw >> 3) == (fi & (wf - 1)))
+                win = jnp.where(zmask, 0, win)
+        if _COMPACT_ZMASK:
+            # One modular-distance mask zeroes every flushed slot
+            # (2kb+1 < wf, so flushed slots are distinct; see the
+            # _COMPACT_ZMASK header).
+            rel = ((suw >> 3) - (f0 & (wf - 1))) & (wf - 1)
+            win = jnp.where(rel < (f1 - f0), 0, win)
         return win
 
     def _in_copy(s, j, slot, k):
@@ -764,9 +837,17 @@ def _compact_stuff_kernel_kb(off_ref, slen_ref, innb_ref, send_ref,
             return outp, tail
 
         prev_r = [jnp.zeros((k8, 1), jnp.int32)] * 2
-        for p in range(3):
-            outp, prev_r = build_plane(p, prev_r)
-            win = place_rows(win, outp, t_base + 128 * p)
+        if _COMPACT_MM_PLACE:
+            planes, tvecs = [], []
+            for p in range(3):
+                outp, prev_r = build_plane(p, prev_r)
+                planes.append(outp)
+                tvecs.append(t_base + 128 * p)
+            win = win | _mm_place_contrib(planes, tvecs, wr_n)
+        else:
+            for p in range(3):
+                outp, prev_r = build_plane(p, prev_r)
+                win = place_rows(win, outp, t_base + 128 * p)
 
         win = flush_and_zero(win, curs[0], curs[kb - 1] + slens[kb - 1])
         return s, win, nj
@@ -1015,8 +1096,12 @@ def _compact_stuff_kernel_gkb(off_ref, slen_ref, innb_ref, send_ref,
             @pl.when(fi < f1)
             def _(fi=fi):
                 flush_frame_g(g, win0, fi)
-            zmask = (fi < f1) & ((suw >> 3) == (fi & 7))
-            win = jnp.where(zmask, 0, win)
+            if not _COMPACT_ZMASK:
+                zmask = (fi < f1) & ((suw >> 3) == (fi & 7))
+                win = jnp.where(zmask, 0, win)
+        if _COMPACT_ZMASK:
+            rel = ((suw >> 3) - (f0 & 7)) & 7
+            win = jnp.where(rel < (f1 - f0), 0, win)
         return win
 
     def _sched(g, i):
@@ -1163,9 +1248,14 @@ def _compact_stuff_kernel_gkb(off_ref, slen_ref, innb_ref, send_ref,
         for g in range(gs):
             win = wins[g]
             rows = slice(g * k8, (g + 1) * k8)
-            for p in range(3):
-                win = place_rows_g(win, planes[p][rows, :],
-                                   t_base[rows, :] + 128 * p)
+            if _COMPACT_MM_PLACE:
+                win = win | _mm_place_contrib(
+                    [planes[p][rows, :] for p in range(3)],
+                    [t_base[rows, :] + 128 * p for p in range(3)], 64)
+            else:
+                for p in range(3):
+                    win = place_rows_g(win, planes[p][rows, :],
+                                       t_base[rows, :] + 128 * p)
             # trailing RST marker, folded into the segment's last
             # iteration (masked to zero otherwise)
             seg = segs[g]

@@ -87,6 +87,33 @@ _BP_ATTR_MODE = None
 _BP_PLACE_PACKED = os.environ.get("JPEGTPU_BP_PLACE_PACKED", "1") != "0"
 _BP_RANK6 = os.environ.get("JPEGTPU_BP_RANK6", "0") != "0"
 
+# Round-5 candidate (VERDICT r4 #2a): arithmetic DC lookup. The Annex-K
+# DC tables' canonical codes have closed forms (luma: len 2/3/s-2,
+# code 0/s+1/2^len-2; chroma: len max(s,2), code s or 2^len-2), so the
+# per-pair DC table gather can be replaced by ~12 elementwise ops on the
+# tiny [T,2] tensors. The roofline model predicts ~break-even (the
+# kernel is elementwise-ISSUE bound and its gathers are fully hidden, so
+# removing a gather buys nothing while the arith adds passes) — measured
+# to close the question; falls back to the gather when the configured
+# tables don't match the closed form (asserted at trace time).
+_BP_DC_ARITH = os.environ.get("JPEGTPU_BP_DC_ARITH", "0") != "0"
+
+
+@functools.lru_cache(maxsize=1)
+def _dc_arith_ok() -> bool:
+    """True iff the packed DC tables equal the Annex-K closed forms."""
+    dc_codes, dc_lens, _, _ = ht.packed_luts()
+    s = np.arange(16)
+    l_len = np.where(s == 0, 2, np.where(s <= 5, 3, np.maximum(s - 2, 0)))
+    l_code = np.where(s == 0, 0, np.where(s <= 5, s + 1,
+                                          (1 << np.maximum(s - 2, 0)) - 2))
+    c_len = np.where(s <= 2, 2, s)
+    c_code = np.where(s <= 2, s, (1 << s) - 2)
+    return (np.array_equal(l_len[:12], dc_lens[0][:12]) and
+            np.array_equal(l_code[:12], dc_codes[0][:12]) and
+            np.array_equal(c_len[:12], dc_lens[1][:12]) and
+            np.array_equal(c_code[:12], dc_codes[1][:12]))
+
 # seg_merge natural-layout input: byte-identical on HW but COST-NEUTRAL
 # (the transpose it removes is already XLA-fused to 0.015-0.06 ms) —
 # tested-neutral result, default off (scripts/ab_sm_nat.log).
@@ -229,9 +256,24 @@ def _symbolize_pair(c, cls2, dcd2, ac_tbl_ref, dc_tbl_ref,
         a_code = jnp.right_shift(packed, 5)
         a_len = packed & 31
 
-        dc_idx = per_half(cls2 * 16 + d_size2)          # [T2, 128]
-        dc_tbl = jnp.broadcast_to(dc_tbl_ref[...], (t, 128))
-        d_packed = jnp.take_along_axis(dc_tbl, dc_idx, axis=1)
+        if _BP_DC_ARITH and _dc_arith_ok():
+            # Closed-form (code<<5)|len on the [T,2] per-block scalars —
+            # no table gather (see _BP_DC_ARITH header).
+            s2 = d_size2
+            sm2 = jnp.maximum(s2 - 2, 0)
+            lum = jnp.where(
+                s2 == 0, 2,
+                jnp.where(s2 <= 5, jnp.left_shift(s2 + 1, 5) | 3,
+                          jnp.left_shift(jnp.left_shift(1, sm2) - 2, 5)
+                          | sm2))
+            chrm = jnp.where(
+                s2 <= 2, jnp.left_shift(s2, 5) | 2,
+                jnp.left_shift(jnp.left_shift(1, s2) - 2, 5) | s2)
+            d_packed = per_half(jnp.where(cls2 == 0, lum, chrm))
+        else:
+            dc_idx = per_half(cls2 * 16 + d_size2)      # [T2, 128]
+            dc_tbl = jnp.broadcast_to(dc_tbl_ref[...], (t, 128))
+            d_packed = jnp.take_along_axis(dc_tbl, dc_idx, axis=1)
     d_code = jnp.right_shift(d_packed, 5)
     d_len = d_packed & 31
     d_size = per_half(d_size2)

@@ -24,6 +24,7 @@ This is the production path; jpegtpu.core.ops is the stage-by-stage oracle
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -323,6 +324,46 @@ def encode_blocks_pallas_dma_pairs(img: jax.Array, quality: int,
     return y.reshape(*b, n_mcu, out_dim)
 
 
+# Round-5 glue cut (VERDICT r4 #3): emit the per-block DC plane as a
+# second pixel-kernel output so the encoder's dc_diffs_from_dc consumes
+# a [nMCU, 8] tensor instead of strided-slicing coeffs[:, ::64] — the
+# XLA slice re-reads the whole 50 MB (420) / 100 MB (444) coefficient
+# tensor plus a layout copy chain (trace_r5_444.log: copy.58 +
+# reshape.46). HW byte-gated with the round-5 ladder before default-on.
+_PIXEL_DC = os.environ.get("JPEGTPU_PIXEL_DC", "1") != "0"
+_DC_LANES = 8                                    # padded DC-plane lanes
+
+
+def _pixel_kernel_nat_dc(x_ref, m_ref, b_ref, o_ref, dc_ref, scr, *,
+                         r_blk, nrx, mh, row_bytes, grp, nb):
+    """_pixel_kernel_nat emitting (coeffs, DC plane). The DC of block k
+    is the coefficient at lane 64k; static width-1 lane slices gather
+    them into dc_ref [*, _DC_LANES] (lanes >= nb zero)."""
+    ng = nrx // grp
+    gb = grp * row_bytes
+    for b in range(r_blk):
+        v = pltpu.bitcast(x_ref[b * mh:(b + 1) * mh, :], jnp.int8) ^ \
+            jnp.int8(-128)
+        z = v.astype(jnp.float32) + 128.0
+        r2 = jnp.swapaxes(z.reshape(mh, ng, gb), 0,
+                          1).reshape(ng, mh * gb)
+        cols = []
+        for i in range(grp):
+            sl = [r2[:, y * gb + i * row_bytes:
+                     y * gb + (i + 1) * row_bytes]
+                  for y in range(mh)]
+            cols.append(jnp.concatenate(sl, axis=1))
+        scr[...] = jnp.stack(cols, axis=1).reshape(nrx, mh * row_bytes)
+        acc = jnp.dot(scr[...], m_ref[...],
+                      preferred_element_type=jnp.float32) + b_ref[...]
+        r = jnp.sign(acc) * jnp.floor(jnp.abs(acc) + 0.5)
+        ri = r.astype(jnp.int32)
+        o_ref[b * nrx:(b + 1) * nrx, :] = ri
+        dcs = [ri[:, 64 * k:64 * k + 1] for k in range(nb)]
+        dcs.append(jnp.zeros((nrx, _DC_LANES - nb), jnp.int32))
+        dc_ref[b * nrx:(b + 1) * nrx, :] = jnp.concatenate(dcs, axis=1)
+
+
 def _pixel_kernel_nat(x_ref, m_ref, b_ref, o_ref, scr, *, r_blk, nrx, mh,
                       row_bytes, grp):
     """Pixel kernel consuming the image in its NATURAL row-major layout.
@@ -365,10 +406,16 @@ def _pixel_kernel_nat(x_ref, m_ref, b_ref, o_ref, scr, *, r_blk, nrx, mh,
 
 
 def encode_blocks_pallas_nat_pairs(img: jax.Array, quality: int,
-                                   subsampling: str) -> jax.Array:
+                                   subsampling: str,
+                                   with_dc: bool = False):
     """encode_blocks_pairs computed by the natural-layout Pallas kernel
     (_pixel_kernel_nat). Bit-identical to the XLA twin; falls back to
     the XLA path for geometries the kernel does not cover.
+
+    with_dc: also return the [nMCU, 8] DC plane (lanes >= B zero) from
+    the same kernel pass (_pixel_kernel_nat_dc) so dc_diffs never
+    strided-reads the full coefficient tensor; returns (coeffs, dc) —
+    dc is None on the fallback paths (callers slice instead).
 
     NOTE: the fused operator expects MCU pixels flattened (y, x, c); the
     in-kernel swapaxes yields (x-major within row_bytes) == the same
@@ -377,38 +424,65 @@ def encode_blocks_pallas_nat_pairs(img: jax.Array, quality: int,
     if subsampling not in ("420", "422", "444"):
         c = encode_blocks(img, quality, subsampling)
         *b, n_mcu, nb, _ = c.shape
-        return c.reshape(*b, n_mcu, nb * 64)
+        y = c.reshape(*b, n_mcu, nb * 64)
+        return (y, None) if with_dc else y
     (padded, b, m, bias, mh, row_bytes, in_dim, out_dim, n_mcu, nrx,
      rows, r_blk, pad_rows) = _pixel_geometry(img, quality, subsampling)
     grp = 128 // np.gcd(128, row_bytes)  # MCUs per 128-aligned lane group
     if nrx % grp:                        # P3 needs whole lane groups
-        return encode_blocks_pairs(img, quality, subsampling)
+        y = encode_blocks_pairs(img, quality, subsampling)
+        return (y, None) if with_dc else y
     *_, h, w, _c3 = padded.shape
     x = padded.reshape(rows * mh, nrx * row_bytes)     # free row-major view
     if pad_rows:
         x = jnp.concatenate(
             [x, jnp.zeros((pad_rows * mh, nrx * row_bytes), jnp.uint8)])
     grid_rows = rows + pad_rows
+    in_specs = [
+        pl.BlockSpec((r_blk * mh, nrx * row_bytes), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((in_dim, out_dim), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, out_dim), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = (x, jnp.asarray(m), jnp.asarray(bias.reshape(1, out_dim)))
+    if with_dc:
+        kernel = functools.partial(_pixel_kernel_nat_dc, r_blk=r_blk,
+                                   nrx=nrx, mh=mh, row_bytes=row_bytes,
+                                   grp=grp, nb=out_dim // 64)
+        y, dc = pl.pallas_call(
+            kernel,
+            grid=(grid_rows // r_blk,),
+            in_specs=in_specs,
+            out_specs=(
+                pl.BlockSpec((r_blk * nrx, out_dim), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((r_blk * nrx, _DC_LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)),
+            out_shape=(
+                jax.ShapeDtypeStruct((grid_rows * nrx, out_dim),
+                                     jnp.int32),
+                jax.ShapeDtypeStruct((grid_rows * nrx, _DC_LANES),
+                                     jnp.int32)),
+            scratch_shapes=[pltpu.VMEM((nrx, in_dim), jnp.float32)],
+            interpret=_interpret(),
+        )(*args)
+        return (y[:rows * nrx].reshape(*b, n_mcu, out_dim),
+                dc[:rows * nrx].reshape(*b, n_mcu, _DC_LANES))
     kernel = functools.partial(_pixel_kernel_nat, r_blk=r_blk, nrx=nrx,
                                mh=mh, row_bytes=row_bytes, grp=grp)
     y = pl.pallas_call(
         kernel,
         grid=(grid_rows // r_blk,),
-        in_specs=[
-            pl.BlockSpec((r_blk * mh, nrx * row_bytes), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((in_dim, out_dim), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, out_dim), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((r_blk * nrx, out_dim), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((grid_rows * nrx, out_dim),
                                        jnp.int32),
         scratch_shapes=[pltpu.VMEM((nrx, in_dim), jnp.float32)],
         interpret=_interpret(),
-    )(x, jnp.asarray(m), jnp.asarray(bias.reshape(1, out_dim)))
+    )(*args)
     y = y[:rows * nrx]
     return y.reshape(*b, n_mcu, out_dim)
 

@@ -54,6 +54,26 @@ def test_grouped_compact_byte_parity(n_seg, f, gs, kb, restart, density,
     _assert_grouped_matches(words, bits, f, restart, gs, kb)
 
 
+@pytest.mark.parametrize("mm", [False, True])
+def test_compact_mm_place_byte_parity(mm, monkeypatch):
+    """The MXU one-hot placement (_COMPACT_MM_PLACE) must byte-match the
+    chained-OR fold in both stuffing kernels, including stuffing bursts
+    and ragged groups (round-5; HW-gated by scripts/tpu_ab_compact_mm)."""
+    monkeypatch.setattr(cp, "_COMPACT_MM_PLACE", mm)
+    rng = np.random.default_rng(77)
+    words, bits = _mk_case(rng, 9, 2, 0.8, True)
+    ref_stream, _, ref_total = cp.compact_segments_stuffed(
+        words, bits, 2, 240, k_chunks=3)
+    ref = np.asarray(ref_stream).view(np.uint8)[:int(ref_total)].tobytes()
+    monkeypatch.setattr(cp, "_COMPACT_MM_PLACE", not mm)
+    alt_stream, _, alt_total = cp.compact_segments_stuffed(
+        words, bits, 2, 240, k_chunks=3)
+    alt = np.asarray(alt_stream).view(np.uint8)[:int(alt_total)].tobytes()
+    assert alt == ref
+    monkeypatch.setattr(cp, "_COMPACT_MM_PLACE", mm)
+    _assert_grouped_matches(words, bits, 2, 240, 4, 3)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_grouped_compact_fuzz(seed):
     rng = np.random.default_rng(1000 + seed)
@@ -105,7 +125,13 @@ def test_encoder_compact_groups_end_to_end(monkeypatch):
         enc_mod._jitted_encode.cache_clear()
 
 
-def test_encode_batch_fused_compact_groups(monkeypatch):
+@pytest.mark.parametrize("gs", [
+    2,
+    pytest.param(3, marks=pytest.mark.deep),
+    pytest.param(6, marks=pytest.mark.deep),
+    pytest.param(8, marks=pytest.mark.deep),  # -> largest divisor of 6 is 6
+])
+def test_encode_batch_fused_compact_groups(monkeypatch, gs):
     """The grouped-chain batch path (groups of whole images) must produce
     byte-identical files to the per-image path for every gs | bsz,
     including gs < requested (bsz % compact_groups != 0 falls back to
@@ -127,10 +153,9 @@ def test_encode_batch_fused_compact_groups(monkeypatch):
     enc_mod._jitted_encode.cache_clear()
     enc_mod._jitted_encode_batch.cache_clear()
     try:
-        for gs in (2, 3, 6, 8):     # 8 -> largest divisor of 6 is 6
-            cfg_g = dataclasses.replace(cfg, compact_groups=gs)
-            batched = enc_mod._encode_batch_fused(imgs, cfg_g)
-            assert batched == singles, f"compact_groups={gs}"
+        cfg_g = dataclasses.replace(cfg, compact_groups=gs)
+        batched = enc_mod._encode_batch_fused(imgs, cfg_g)
+        assert batched == singles, f"compact_groups={gs}"
     finally:
         enc_mod._jitted_encode.cache_clear()
         enc_mod._jitted_encode_batch.cache_clear()

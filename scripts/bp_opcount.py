@@ -98,6 +98,14 @@ def _find_pallas(jaxpr, found):
 def main():
     from jpegtpu import encoder as enc_mod
     from jpegtpu.config import EncoderConfig
+    from jpegtpu.kernels import entropy_pack as epk
+    from jpegtpu.kernels import fused_dctq as fdq
+
+    # Trace the PRODUCTION (Pallas) program on the CPU backend: the same
+    # interpret-mode switches the test suite uses.
+    enc_mod.jax.default_backend = lambda: "tpu"
+    epk._interpret = lambda: True
+    fdq._interpret = lambda: True
 
     modes = sys.argv[1:] or ["420", "444", "422", "gray"]
     h, w = 2160, 3840

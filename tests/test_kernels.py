@@ -489,6 +489,31 @@ def test_pixel_kernel_nat_bit_exact_vs_twin(sub, shape, quality):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("sub,shape", [
+    ("420", (64, 128, 3)),
+    ("444", (17, 250, 3)),
+    ("420", (16, 96, 3)),     # XLA fallback path: dc must come back None
+])
+def test_pixel_kernel_dc_plane_matches_slice(sub, shape):
+    """The DC-plane second output (round 5, fused_dctq._PIXEL_DC) must
+    equal coeffs[:, ::64] exactly on covered geometries, with lanes >= B
+    zero, and be None on fallback paths (callers slice instead);
+    scripts/tpu_ab_pixel_dc.py extends this to the full program on HW."""
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = fused_dctq.encode_blocks_pallas_nat_pairs(
+        jnp.asarray(img), 85, sub, with_dc=True)
+    coeffs, dc = out
+    cref = np.asarray(coeffs)
+    if shape == (16, 96, 3):
+        assert dc is None
+        return
+    dcn = np.asarray(dc)
+    b = cref.shape[-1] // 64
+    np.testing.assert_array_equal(dcn[..., :b], cref[..., ::64])
+    assert not dcn[..., b:].any()
+
+
 @pytest.mark.parametrize("sub,n_luma,shape,restart", [
     ("420", 4, (64, 128, 3), 8),      # rows restart
     ("420", 4, (64, 128, 3), 0),      # restartless (virtual-split dcd)

@@ -324,13 +324,16 @@ def encode_blocks_pallas_dma_pairs(img: jax.Array, quality: int,
     return y.reshape(*b, n_mcu, out_dim)
 
 
-# Round-5 glue cut (VERDICT r4 #3): emit the per-block DC plane as a
+# Round-5 candidate (VERDICT r4 #3): emit the per-block DC plane as a
 # second pixel-kernel output so the encoder's dc_diffs_from_dc consumes
-# a [nMCU, 8] tensor instead of strided-slicing coeffs[:, ::64] — the
-# XLA slice re-reads the whole 50 MB (420) / 100 MB (444) coefficient
-# tensor plus a layout copy chain (trace_r5_444.log: copy.58 +
-# reshape.46). HW byte-gated with the round-5 ladder before default-on.
-_PIXEL_DC = os.environ.get("JPEGTPU_PIXEL_DC", "1") != "0"
+# a [nMCU, 8] tensor instead of strided-slicing coeffs[:, ::64].
+# TESTED NEGATIVE RESULT on HW (2026-08-20, scripts/ab_pixel_dc.log,
+# byte-identical at 420/444/422): the in-kernel extraction (B width-1
+# lane slices + concat per MCU row — Mosaic register relayouts) costs
+# FAR more than the strided read it replaces: 420 3.00-3.54 ->
+# 3.83-4.05 ms/frame, 444 7.21 -> 8.41, 422 5.11 -> 5.42. Default OFF;
+# kept selectable as the negative-result record.
+_PIXEL_DC = os.environ.get("JPEGTPU_PIXEL_DC", "0") != "0"
 _DC_LANES = 8                                    # padded DC-plane lanes
 
 

@@ -135,8 +135,39 @@ class EncoderConfig:
 
     @property
     def first_pass_budget(self) -> int:
-        """The per-block bit budget the first device pass compiles with."""
-        return self.bits_budget or DEFAULT_BITS_BUDGET
+        """The per-block bit budget the first device pass compiles with.
+
+        Mode-aware defaults (round 5): smaller first-pass budgets make
+        LARGER MCU groups chunk-free (ceil(blocks*budget/32)+2 <= 128
+        words), which the auto grouping rule (entropy_pack.mcu_group)
+        converts into fewer seg_merge serial appends at identical bytes:
+          444/444s @330: a gm=4 unit (12 blocks) fits ONE chunk (was 2
+            at 384) — 7.31-7.64 -> 6.74-7.07 ms/4K q90
+            (scripts/ab_budget444.log);
+          422 @248: gm=4 (16 blocks, 126 words) — 5.17-5.38 ->
+            4.86-5.03 and 5.01-5.28 -> 5.00-5.04 ms across two runs
+            (scripts/ab_budget_all.log, ab_budget_all2.log);
+          420 keeps 384: the gm=2@330 upgrade measured neutral-to-
+            marginal across two runs (ab_budget_all*.log), so the
+            larger escalation headroom wins;
+          gray keeps 384: gm=16@248 measured neutral-to-WORSE than
+            gm=8@384 (2.70-3.02 vs 3.01-3.06, ab_budget_all2.log) —
+            appends are no longer gray's bottleneck.
+        All byte-identical; denser content triggers the tested
+        budget-escalation re-run (2x cost on that frame only). At
+        quality >= 97 the near-lossless bit volume (~125 bits/block at
+        q90 on bench content, 2-3x that near q100) would make a
+        252-336 bits/block unit cap escalate routinely, so the
+        reduced-budget defaults are disabled there."""
+        if self.bits_budget:
+            return self.bits_budget
+        if self.quality >= 97:
+            return DEFAULT_BITS_BUDGET
+        if self.subsampling in ("444", "444s"):
+            return 330
+        if self.subsampling == "422":
+            return 248
+        return DEFAULT_BITS_BUDGET
 
     @property
     def mcu_shape(self) -> tuple:

@@ -555,17 +555,22 @@ def mcu_group(g: int, bits_budget: int, mcus_per_seg: int) -> int:
     if force:
         gm = int(force)
         return gm if gm > 1 and mcus_per_seg % gm == 0 else 1
-    # HW-validated chunk-GROWING override: 444 (g=3) at gm=4 runs with
-    # TWO stream chunks per unit — double the per-append vector work and
-    # merge gathers, but HALF the seg_merge serial appends of gm=2, and
-    # the latency win dominates: 8.51-8.72 -> 8.21-8.32 ms/4K 444,
-    # byte-identical (scripts/ab_gm4b.log 2026-08-20; gm=8 exceeds the
-    # block_pack scoped-VMEM budget, tested). Only the measured case is
-    # overridden; other geometries keep the chunk-free rule.
+    # HW-validated override: 444 (g=3) at gm=4. Under the round-4
+    # 384-bit budget this ran chunk-GROWING (two chunks per unit, half
+    # the serial appends; 8.51-8.72 -> 8.21-8.32 ms, ab_gm4b.log);
+    # since the round-5 mode-aware 330-bit first-pass budget
+    # (config.first_pass_budget) the same gm=4 unit fits ONE chunk —
+    # chunk-free by the generic rule too — and measured another
+    # 7.3-7.6 -> 6.7-7.1 ms (ab_budget444.log). gm=8 fails Mosaic
+    # compilation at any budget (g_eff=24 block_pack; probed at 330 and
+    # 300, ab_budget444.log). Other geometries keep the chunk-free rule.
     if g == 3 and mcus_per_seg % 4 == 0:
         return 4
     chunks1, _ = mcu_capacity(g, bits_budget)
-    for cand in (8, 4, 2):
+    # 16 is reachable only at reduced first-pass budgets (16 gray blocks
+    # fit one chunk at <= 252 bits/block — round-5 mode-aware budgets);
+    # at 384 it is never chunk-free, so round-4 behavior is unchanged.
+    for cand in (16, 8, 4, 2):
         if mcus_per_seg % cand:
             continue
         ch, _ = mcu_capacity(g * cand, bits_budget)

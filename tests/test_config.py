@@ -34,3 +34,28 @@ def test_invalid_configs_raise(kwargs):
 @pytest.mark.parametrize("kb", [1, 2, 3, 4])
 def test_all_selectable_kb_accepted(kb):
     assert EncoderConfig(compact_kb=kb).compact_kb == kb
+
+
+def test_mode_aware_first_pass_budget():
+    """Round-5: reduced first-pass budgets make larger MCU groups
+    chunk-free (HW A/Bs scripts/ab_budget444.log, ab_budget_all*.log);
+    420 keeps 384 (neutral, measured); quality >= 97 disables the
+    reduction (escalation headroom); explicit bits_budget always wins."""
+    assert EncoderConfig(subsampling="444").first_pass_budget == 330
+    assert EncoderConfig(subsampling="444s").first_pass_budget == 330
+    assert EncoderConfig(subsampling="422").first_pass_budget == 248
+    assert EncoderConfig(subsampling="gray").first_pass_budget == 384
+    assert EncoderConfig(subsampling="420").first_pass_budget == 384
+    assert EncoderConfig(subsampling="444",
+                         quality=97).first_pass_budget == 384
+    assert EncoderConfig(subsampling="422",
+                         quality=100).first_pass_budget == 384
+    assert EncoderConfig(subsampling="444",
+                         bits_budget=384).first_pass_budget == 384
+
+
+def test_444_default_budget_single_chunk():
+    """The point of the 330 default: one stream chunk per gm=4 unit."""
+    from jpegtpu.kernels.entropy_pack import mcu_capacity
+    assert mcu_capacity(12, 330)[0] == 1
+    assert mcu_capacity(12, 384)[0] == 2

@@ -131,8 +131,12 @@ def _mcu_major_ok(pad_mcu: int, mps: int, chunks: int) -> bool:
 
 _MCU_MAJOR_ENABLED = False
 
-# restart=0 virtual segment fan-out (one per seg_merge sublane row)
-_VSEG = 8
+# restart=0 virtual segment fan-out. 8 fills one seg_merge sublane-row
+# band. TESTED NEGATIVE at 16/32 (round 5, scripts/ab_vseg.log,
+# byte-identical): 4.82-4.94 -> 5.36-5.49 (16) -> 6.61-6.92 ms (32) —
+# the per-stream bit_join passes grow linearly with the fan-out and
+# swamp the saved append iterations. 8 stays the optimum.
+_VSEG = int(os.environ.get("JPEGTPU_VSEG", "8"))
 
 
 def _fused_bp_or_none(img, quality, subsampling, restart, bits_budget,

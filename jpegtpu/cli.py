@@ -299,6 +299,44 @@ def cmd_bench(args) -> int:
                   f"(inspect with tensorboard/xprof)")
         else:
             print(stages.speedup_table(img, cfg))
+    elif getattr(args, "stream", 0):
+        # Sustained stream: dispatch N device encodes back-to-back with
+        # ONE dependent sync at the end, subtracting the 1-frame chain
+        # (fixed dispatch+fetch round trip) — bench.py --stream's
+        # methodology on a user-supplied image.
+        import jax
+        import jax.numpy as jnp
+
+        from jpegtpu.encoder import _jitted_encode
+        h, w = img.shape[:2]
+        fn, _, _ = _jitted_encode((h, w), cfg)
+        dev = jax.device_put(jnp.asarray(
+            img if cfg.subsampling == "gray" else img.reshape(h, -1)))
+        probe = jax.jit(lambda o: jnp.sum(o[1]) +
+                        jnp.sum(o[0].reshape(-1)[::4099].astype(jnp.int32)))
+        float(probe(fn(dev)))                     # warm
+
+        def chain(k):
+            t0 = time.perf_counter()
+            outs = [fn(dev) for _ in range(k)]
+            float(probe(outs[-1]))
+            return time.perf_counter() - t0
+
+        n = args.stream
+        d1 = min(chain(1) for _ in range(3))
+        dn = min(chain(n + 1) for _ in range(3))
+        dt = (dn - d1) / n
+        dispatch_bound = dt <= 0
+        if dispatch_bound:
+            # Tiny frames: the chain subtraction drowns in dispatch
+            # noise (can go negative). Report the un-subtracted
+            # per-frame time as an honest upper bound instead.
+            dt = dn / (n + 1)
+        print(json.dumps({
+            "image": f"{w}x{h}", "frames": n,
+            "ms_per_frame_sustained": round(dt * 1e3, 2),
+            "sustained_mpixps": round(h * w / dt / 1e6, 2),
+            "dispatch_bound": dispatch_bound}))
     else:
         from jpegtpu.encoder import Encoder
         enc = Encoder(cfg)
@@ -344,6 +382,11 @@ def main(argv=None) -> int:
                    help="with --stages: capture a jax.profiler device "
                         "trace (per-kernel device times) into DIR")
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--stream", type=int, metavar="N", default=0,
+                   help="sustained-stream mode: pipeline N frames "
+                        "(device-dispatched back-to-back, one dependent "
+                        "sync) and report sustained MPix/s — the "
+                        "BASELINE config-5 image-stream stand-in")
     _add_encode_flags(p)
     p.set_defaults(fn=cmd_bench)
 

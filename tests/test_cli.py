@@ -91,6 +91,17 @@ def test_cli_bench_json(tmp_path, smooth_img, capsys):
     assert "mpix_s_e2e" in out
 
 
+def test_cli_bench_stream_json(tmp_path, smooth_img, capsys):
+    """cli bench --stream N: sustained-stream mode (round 5, the
+    BASELINE config-5 stand-in exposed on the CLI)."""
+    src = tmp_path / "img.ppm"
+    ppm.write_pnm(src, smooth_img)
+    rc = main(["bench", str(src), "--stream", "3", "-q", "50"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sustained_mpixps" in out
+
+
 def test_bench_supervisor_end_to_end():
     """bench.py's retry supervisor must forward the child's one JSON line
     to stdout (smoke mode: CPU backend, small shape). Round 2 lost its

@@ -1137,7 +1137,9 @@ def test_encoder_pallas_path_all_subsamplings(sub, monkeypatch):
 @pytest.mark.parametrize("sub,shape,want_gm", [
     ("444", (16, 128, 3), 4),    # mx=16, g=3 -> chunk-growing quads
     ("444", (16, 72, 3), 1),     # mx=9: neither 4 nor 2 divides
-    ("422", (16, 128, 3), 2),    # mx=8, g=4 -> pairs
+    ("422", (16, 128, 3), 4),    # mx=8, g=4 -> quads at the round-5
+                                 # 248-bit default budget (was pairs
+                                 # at 384 — config.first_pass_budget)
     ("gray", (16, 128), 8),      # mx=16, g=1 -> 8 MCUs per unit
     ("420", (32, 128, 3), 1),    # g=6 already fills the budget chunk
 ])

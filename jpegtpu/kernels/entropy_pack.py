@@ -1266,6 +1266,88 @@ def seg_merge_mcu(mwords: jax.Array, mlens: jax.Array, n_seg: int,
     return out, seg_bits, max_mcu_bits
 
 
+# Round-5 candidate: tree-structured bit_join — TESTED NEGATIVE on HW
+# (2026-08-20, scripts/ab_bjtree.log, byte-identical at VSEG 8/16/32):
+# restart=0 lin-v8 4.74-5.09 ms vs tree-v8 5.14-5.67 and tree-v16/32
+# worse still. The pass-count model (log2(S) x OW vs S x OW) loses to
+# reality: the vmap'd per-pair DYNAMIC rolls lower as gathers and the
+# doubling intermediate buffers add HBM round trips the linear form's
+# single accumulator avoids. Kept selectable as the negative-result
+# record; restart=0's gap to rows-restart is NOT the join.
+_BJ_TREE = os.environ.get("JPEGTPU_BJ_TREE", "0") != "0"
+
+
+def _bj_mask_tail(w, nb):
+    """Zero stream words past nb bits (strips seg_merge's byte padding)."""
+    wv = w.shape[0]
+    idx = jnp.arange(wv, dtype=jnp.int32)
+    nw = (nb + 31) >> 5
+    r = (nb & 31).astype(jnp.uint32)
+    head = jnp.where(r > 0,
+                     ~jnp.right_shift(jnp.uint32(0xFFFFFFFF), r),
+                     jnp.uint32(0xFFFFFFFF))
+    m = jnp.where(idx < nw - 1, jnp.uint32(0xFFFFFFFF),
+                  jnp.where(idx == nw - 1, head, jnp.uint32(0)))
+    return w & jnp.where(nb > 0, m, jnp.uint32(0))
+
+
+def _bit_join_tree(seg_words: jax.Array, seg_bits: jax.Array,
+                   out_words: int, pad_final: bool = True):
+    """bit_join via pairwise tree joins (see _BJ_TREE). Buffer sizes
+    double per level (2*cur+1: left operand + shifted right + funnel
+    spill, no roll wraparound); the final stream truncates/pads to
+    out_words — exact because every word past the total bit count is
+    provably zero (inputs are tail-masked and joins only OR shifted
+    real bits)."""
+    s, wv = seg_words.shape
+    bits = seg_bits.astype(jnp.int32)
+    total = jnp.sum(bits)
+    words = jax.vmap(_bj_mask_tail)(seg_words, bits)
+    cur = wv
+    while words.shape[0] > 1:
+        n = words.shape[0]
+        if n % 2:
+            words = jnp.concatenate(
+                [words, jnp.zeros((1, cur), jnp.uint32)])
+            bits = jnp.concatenate([bits, jnp.zeros(1, jnp.int32)])
+            n += 1
+        new_w = 2 * cur + 1
+        a, b = words[0::2], words[1::2]
+        ba, bb = bits[0::2], bits[1::2]
+
+        def join(av, bv, nba):
+            r = (nba & 31).astype(jnp.uint32)
+            prev = jnp.concatenate([jnp.zeros(1, jnp.uint32), bv[:-1]])
+            sh = jnp.right_shift(bv, r) | \
+                jnp.left_shift(jnp.left_shift(prev, 1), (31 - r) & 31)
+            spill = jnp.left_shift(jnp.left_shift(bv[-1:], 1),
+                                   (31 - r) & 31)
+            shp = jnp.concatenate(
+                [sh, spill, jnp.zeros(new_w - cur - 1, jnp.uint32)])
+            shr = jnp.roll(shp, nba >> 5)
+            ap = jnp.concatenate(
+                [av, jnp.zeros(new_w - cur, jnp.uint32)])
+            return ap | shr
+
+        words = jax.vmap(join)(a, b, ba)
+        bits = ba[...] + bb[...]
+        cur = new_w
+    out = words[0]
+    if cur < out_words:
+        out = jnp.concatenate(
+            [out, jnp.zeros(out_words - cur, jnp.uint32)])
+    elif cur > out_words:
+        out = out[:out_words]
+    if pad_final:
+        padb = ((8 - (total & 7)) & 7).astype(jnp.uint32)
+        r = (total & 31).astype(jnp.uint32)
+        padval = jnp.left_shift(
+            jnp.left_shift(jnp.uint32(1), padb) - 1, (32 - r - padb) & 31)
+        oidx = jnp.arange(out_words, dtype=jnp.int32)
+        out = out | jnp.where(oidx == (total >> 5), padval, jnp.uint32(0))
+    return out, total
+
+
 def bit_join(seg_words: jax.Array, seg_bits: jax.Array, out_words: int,
              pad_final: bool = True):
     """Concatenate S bit-streams into ONE at bit granularity — pure
@@ -1283,7 +1365,9 @@ def bit_join(seg_words: jax.Array, seg_bits: jax.Array, out_words: int,
     7 of 8 seg_merge sublane rows idle (555 vs 1215 MPix/s at 4K); the
     encoder merges 8 VIRTUAL segments in parallel instead and bit-joins
     them here (~0.2 ms of HBM passes replacing ~8 ms of idle-row serial
-    appends)."""
+    appends). _BJ_TREE selects the log-depth pairwise form."""
+    if _BJ_TREE:
+        return _bit_join_tree(seg_words, seg_bits, out_words, pad_final)
     s, wv = seg_words.shape
     sb = seg_bits.astype(jnp.int32)
     starts = jnp.cumsum(sb) - sb

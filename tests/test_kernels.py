@@ -897,6 +897,18 @@ def test_bit_join_matches_numpy_oracle():
     np.testing.assert_array_equal(got[:len(ref)], ref.astype(np.uint32))
     assert not got[len(ref):].any()
 
+    # The tree form (tested-negative variant, kept selectable) must be
+    # bit-identical too, including at non-power-of-two stream counts.
+    for s_sub in (s, 5):
+        gt, tt = ep._bit_join_tree(
+            jnp.asarray(words[:s_sub].astype(np.uint32)),
+            jnp.asarray(bits[:s_sub]), out_words)
+        gl, tl = ep.bit_join(
+            jnp.asarray(words[:s_sub].astype(np.uint32)),
+            jnp.asarray(bits[:s_sub]), out_words)
+        assert int(tt) == int(tl)
+        np.testing.assert_array_equal(np.asarray(gt), np.asarray(gl))
+
 
 def test_encoder_restart0_virtual_split(monkeypatch):
     """restart=0 takes the 8-way virtual-segment merge + bit_join path

@@ -210,6 +210,7 @@ def run_bench() -> int:
         # dispatch+fetch round trip exactly as the headline does, so
         # the two numbers are directly comparable: a sustained number
         # below the per-frame one exposes dispatch-gap loss.
+        from jpegtpu.bench.stages import sustained_stream
         n_stream = int(os.environ.get("JPEGTPU_BENCH_STREAM", "20"))
         ring = [imgd]
         for i in range(1, 4):
@@ -217,18 +218,7 @@ def run_bench() -> int:
                 np.roll(base, 173 * i, axis=1)[..., None] +
                 rng.normal(0, 12, (h, w, 3)), 0, 255).astype(np.uint8)
             ring.append(jax.device_put(jnp.asarray(alt.reshape(h, -1))))
-        for fr in ring[1:]:
-            float(probe(fn(fr)))            # warm (same shape, one trace)
-
-        def stream_chain(k):
-            t0 = time.perf_counter()
-            outs = [fn(ring[i % 4]) for i in range(k)]
-            float(probe(outs[-1]))
-            return time.perf_counter() - t0
-
-        d1 = min(stream_chain(1) for _ in range(3))
-        dn = min(stream_chain(n_stream + 1) for _ in range(3))
-        dt = (dn - d1) / n_stream
+        dt, dispatch_bound = sustained_stream(fn, ring, n_stream, probe)
         sustained = (h * w) / dt / 1e6
         print(json.dumps({
             "metric": f"encode_stream_sustained_{h}x{w}_q90_420_device",
@@ -238,6 +228,7 @@ def run_bench() -> int:
             "sustained_mpixps": round(sustained, 2),
             "frames": n_stream,
             "distinct_frames": 4,
+            "dispatch_bound": dispatch_bound,
             "psnr_db": round(psnr, 2),
         }))
         return 0

@@ -26,6 +26,33 @@ from jpegtpu.encoder import DEFAULT_BITS_BUDGET, Encoder
 from jpegtpu.entropy import scan
 
 
+def sustained_stream(fn, frames, n: int, probe):
+    """Shared sustained-stream methodology (bench.py --stream and
+    `cli bench --stream` both use this — one copy, so the two numbers
+    stay directly comparable): dispatch n encodes round-robin over the
+    device-resident `frames` back-to-back with ONE dependent sync,
+    subtracting the 1-frame chain (the fixed dispatch+fetch round
+    trip). Returns (sec_per_frame, dispatch_bound); tiny frames whose
+    chain subtraction drowns in dispatch noise (dt <= 0) report the
+    un-subtracted per-frame time with dispatch_bound=True instead of a
+    negative rate."""
+    float(probe(fn(frames[0])))                    # warm the program
+
+    def chain(k):
+        t0 = time.perf_counter()
+        outs = [fn(frames[i % len(frames)]) for i in range(k)]
+        float(probe(outs[-1]))
+        return time.perf_counter() - t0
+
+    d1 = min(chain(1) for _ in range(3))
+    dn = min(chain(n + 1) for _ in range(3))
+    dt = (dn - d1) / n
+    dispatch_bound = dt <= 0
+    if dispatch_bound:
+        dt = dn / (n + 1)
+    return dt, dispatch_bound
+
+
 def _sync_time(fn, *args, iters: int = 10) -> float:
     """Amortized wall seconds per call: K calls are queued back-to-back and
     one dependent scalar fetch forces completion of the chain; subtracting

@@ -300,38 +300,32 @@ def cmd_bench(args) -> int:
         else:
             print(stages.speedup_table(img, cfg))
     elif getattr(args, "stream", 0):
-        # Sustained stream: dispatch N device encodes back-to-back with
-        # ONE dependent sync at the end, subtracting the 1-frame chain
-        # (fixed dispatch+fetch round trip) — bench.py --stream's
-        # methodology on a user-supplied image.
+        # Sustained stream on a user image — the shared
+        # stages.sustained_stream methodology (same as bench.py
+        # --stream, so the numbers are directly comparable).
         import jax
         import jax.numpy as jnp
 
         from jpegtpu.encoder import _jitted_encode
+        # Same input validation as Encoder.encode (the stream branch
+        # calls the jitted program directly, which would otherwise
+        # crash deep in the device trace on a shape mismatch).
+        if cfg.subsampling == "gray":
+            if img.ndim == 3 and img.shape[2] == 1:
+                img = img[..., 0]
+            if img.ndim != 2:
+                raise SystemExit(
+                    f"gray mode expects [H, W] input, got {img.shape}")
+        elif img.ndim != 3 or img.shape[2] != 3:
+            raise SystemExit(f"expected [H, W, 3] RGB, got {img.shape}")
         h, w = img.shape[:2]
         fn, _, _ = _jitted_encode((h, w), cfg)
         dev = jax.device_put(jnp.asarray(
             img if cfg.subsampling == "gray" else img.reshape(h, -1)))
         probe = jax.jit(lambda o: jnp.sum(o[1]) +
                         jnp.sum(o[0].reshape(-1)[::4099].astype(jnp.int32)))
-        float(probe(fn(dev)))                     # warm
-
-        def chain(k):
-            t0 = time.perf_counter()
-            outs = [fn(dev) for _ in range(k)]
-            float(probe(outs[-1]))
-            return time.perf_counter() - t0
-
         n = args.stream
-        d1 = min(chain(1) for _ in range(3))
-        dn = min(chain(n + 1) for _ in range(3))
-        dt = (dn - d1) / n
-        dispatch_bound = dt <= 0
-        if dispatch_bound:
-            # Tiny frames: the chain subtraction drowns in dispatch
-            # noise (can go negative). Report the un-subtracted
-            # per-frame time as an honest upper bound instead.
-            dt = dn / (n + 1)
+        dt, dispatch_bound = stages.sustained_stream(fn, [dev], n, probe)
         print(json.dumps({
             "image": f"{w}x{h}", "frames": n,
             "ms_per_frame_sustained": round(dt * 1e3, 2),

@@ -152,7 +152,9 @@ class EncoderConfig:
             larger escalation headroom wins;
           gray keeps 384: gm=16@248 measured neutral-to-WORSE than
             gm=8@384 (2.70-3.02 vs 3.01-3.06, ab_budget_all2.log) —
-            appends are no longer gray's bottleneck.
+            appends are no longer gray's bottleneck; the gm=16
+            candidate was removed from mcu_group outright (dead under
+            every auto default).
         All byte-identical; denser content triggers the tested
         budget-escalation re-run (2x cost on that frame only). At
         quality >= 97 the near-lossless bit volume (~125 bits/block at

@@ -567,10 +567,12 @@ def mcu_group(g: int, bits_budget: int, mcus_per_seg: int) -> int:
     if g == 3 and mcus_per_seg % 4 == 0:
         return 4
     chunks1, _ = mcu_capacity(g, bits_budget)
-    # 16 is reachable only at reduced first-pass budgets (16 gray blocks
-    # fit one chunk at <= 252 bits/block — round-5 mode-aware budgets);
-    # at 384 it is never chunk-free, so round-4 behavior is unchanged.
-    for cand in (16, 8, 4, 2):
+    # cand=16 (gray at user budgets <= 252) was probed in round 5 and
+    # REMOVED: gm=16@248 measured neutral-to-worse than gm=8@384
+    # (ab_budget_all2.log) and under every auto default the candidate
+    # is dead code — keeping it selectable would be a reachable
+    # untested configuration (the compact_kb 5..6 class, VERDICT r4 #5).
+    for cand in (8, 4, 2):
         if mcus_per_seg % cand:
             continue
         ch, _ = mcu_capacity(g * cand, bits_budget)

@@ -495,9 +495,12 @@ def test_pixel_kernel_nat_bit_exact_vs_twin(sub, shape, quality):
     ("420", (16, 96, 3)),     # XLA fallback path: dc must come back None
 ])
 def test_pixel_kernel_dc_plane_matches_slice(sub, shape):
-    """The DC-plane second output (round 5, fused_dctq._PIXEL_DC) must
-    equal coeffs[:, ::64] exactly on covered geometries, with lanes >= B
-    zero, and be None on fallback paths (callers slice instead);
+    """The DC-plane second output (round 5, fused_dctq._PIXEL_DC,
+    tested-negative default-off variant): the COEFFS output must stay
+    bit-identical to the XLA twin (the CLAUDE.md kernel-twin invariant
+    — _pixel_kernel_nat_dc is a separate kernel body that could drift
+    from _pixel_kernel_nat), the dc plane must equal coeffs[:, ::64]
+    with lanes >= B zero, and fallback paths must return dc=None;
     scripts/tpu_ab_pixel_dc.py extends this to the full program on HW."""
     rng = np.random.default_rng(sum(shape))
     img = rng.integers(0, 256, shape, dtype=np.uint8)
@@ -505,6 +508,9 @@ def test_pixel_kernel_dc_plane_matches_slice(sub, shape):
         jnp.asarray(img), 85, sub, with_dc=True)
     coeffs, dc = out
     cref = np.asarray(coeffs)
+    twin = np.asarray(fused_dctq.encode_blocks_pairs(
+        jnp.asarray(img), 85, sub))
+    np.testing.assert_array_equal(cref, twin)
     if shape == (16, 96, 3):
         assert dc is None
         return

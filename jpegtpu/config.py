@@ -157,10 +157,12 @@ class EncoderConfig:
             every auto default).
         All byte-identical; denser content triggers the tested
         budget-escalation re-run (2x cost on that frame only). At
-        quality >= 97 the near-lossless bit volume (~125 bits/block at
-        q90 on bench content, 2-3x that near q100) would make a
-        252-336 bits/block unit cap escalate routinely, so the
-        reduced-budget defaults are disabled there."""
+        quality >= 97 the reduced-budget defaults are disabled:
+        measured on the bench content (scripts/probe_budget_guard.log)
+        the worst unit climbs 2059 -> 3529 of the 4032-bit cap across
+        q90..q96 at 422@248 (444@330: 1673 -> 2791) — q96 clears the
+        cap with ~12% margin and the extrapolated q97 point would
+        cross it, exactly where the guard restores 384."""
         if self.bits_budget:
             return self.bits_budget
         if self.quality >= 97:

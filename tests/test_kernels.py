@@ -618,16 +618,23 @@ def test_pixel_kernel_non420_falls_back():
         np.testing.assert_array_equal(a, b)
 
 
-def test_encode_batch_fused_matches_single(monkeypatch):
+@pytest.mark.parametrize("sub", [
+    "420",
+    # 444/422 exercise the grouped batch path (gm > 1) under the
+    # round-5 mode-aware first-pass budgets (330 / 248)
+    pytest.param("444", marks=pytest.mark.deep),
+    "422",
+])
+def test_encode_batch_fused_matches_single(monkeypatch, sub):
     """Batched device program must produce byte-identical files to the
-    per-image path (interpret mode)."""
+    per-image path (interpret mode), in every subsampling mode."""
     import jpegtpu.encoder as enc_mod
     import jpegtpu.kernels.entropy_pack as epk
     from jpegtpu.config import EncoderConfig
 
     rng = np.random.default_rng(5)
     imgs = rng.integers(0, 256, (3, 24, 16, 3), dtype=np.uint8)
-    cfg = EncoderConfig(quality=80, subsampling="420",
+    cfg = EncoderConfig(quality=80, subsampling=sub,
                         restart_interval="rows")
     singles = [enc_mod.Encoder(cfg).encode(im) for im in imgs]
 

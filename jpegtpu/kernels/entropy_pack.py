@@ -565,15 +565,36 @@ def mcu_group(g: int, bits_budget: int, mcus_per_seg: int) -> int:
     # compilation at any budget (g_eff=24 block_pack; probed at 330 and
     # 300, ab_budget444.log). Other geometries keep the chunk-free rule.
     if g == 3 and mcus_per_seg % 4 == 0:
-        return 4
+        # Capacity guard (round-5 HW finding, check_escalation2.log):
+        # the unconditional return built the ESCALATED
+        # (MAX_BITS_PER_BLOCK) program as a 12-block x 5-chunk unit
+        # whose scoped-VMEM stack (24.3 MB) fails Mosaic on real
+        # hardware — so any dense-content 444 encode that triggered
+        # escalation crashed instead of re-running. Only take gm=4
+        # within its HW-validated envelope (<= 2 chunks: the round-4
+        # chunk-growing configuration); escalated/huge budgets fall
+        # through to the generic rule and run ungrouped.
+        ch4, _ = mcu_capacity(12, bits_budget)
+        if ch4 <= 2:
+            return 4
     chunks1, _ = mcu_capacity(g, bits_budget)
     # cand=16 (gray at user budgets <= 252) was probed in round 5 and
     # REMOVED: gm=16@248 measured neutral-to-worse than gm=8@384
     # (ab_budget_all2.log) and under every auto default the candidate
     # is dead code — keeping it selectable would be a reachable
     # untested configuration (the compact_kb 5..6 class, VERDICT r4 #5).
+    #
+    # VMEM feasibility cap (round-5 HW finding, scripts/
+    # check_escalation.log): a tiny user bits_budget makes HUGE groups
+    # look chunk-free — e.g. budget=48 at 420 picked gm=8 (g_eff=48,
+    # a [T, 3072]-lane block_pack) whose scoped-VMEM stack (33 MB)
+    # FAILS Mosaic compilation on real hardware while interpret mode
+    # (no VMEM limits) passes. Cap the grouped unit at 16 blocks: every
+    # HW-validated configuration (444 gm=4 -> 12, 422 gm=4 -> 16,
+    # gray gm=8 -> 8) is within it, and g_eff=24 is already a known
+    # compile failure (444 gm=8 probes).
     for cand in (8, 4, 2):
-        if mcus_per_seg % cand:
+        if mcus_per_seg % cand or g * cand > 16:
             continue
         ch, _ = mcu_capacity(g * cand, bits_budget)
         if ch == chunks1:

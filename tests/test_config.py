@@ -59,3 +59,18 @@ def test_444_default_budget_single_chunk():
     from jpegtpu.kernels.entropy_pack import mcu_capacity
     assert mcu_capacity(12, 330)[0] == 1
     assert mcu_capacity(12, 384)[0] == 2
+
+
+def test_mcu_group_vmem_feasibility_cap():
+    """Round-5 HW finding (scripts/check_escalation.log): tiny user
+    budgets made huge groups look chunk-free — budget=48 at 420 picked
+    gm=8 (g_eff=48), whose block_pack scoped-VMEM stack (33 MB) fails
+    Mosaic compilation on real hardware while interpret mode passes.
+    The grouping rule caps the unit at 16 blocks."""
+    from jpegtpu.kernels.entropy_pack import mcu_group
+    for g in (1, 2, 3, 4, 6):
+        for budget in (48, 64, 128, 248, 330, 384):
+            gm = mcu_group(g, budget, 240)
+            assert g * gm <= 16, (g, budget, gm)
+    # the pathological case from the HW failure: 420 at budget 48
+    assert mcu_group(6, 48, 240) * 6 <= 16

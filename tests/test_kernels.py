@@ -1131,12 +1131,19 @@ def test_encoder_dma_pixel_path_end_to_end(monkeypatch):
     assert pallas_bytes == xla_bytes
 
 
-@pytest.mark.parametrize("sub", ["422", "444", "gray"])
+@pytest.mark.parametrize("sub", [
+    "422", "444", "gray",
+    # 444s: reference-parity smoothed mode (XLA pixel fallback + the
+    # same g=3/gm=4 entropy path as 444 at the 330-bit budget) — HW
+    # conformance in scripts/conformance_r5.log
+    pytest.param("444s", marks=pytest.mark.deep),
+])
 def test_encoder_pallas_path_all_subsamplings(sub, monkeypatch):
     """Encoder-level byte parity of the Pallas tier for the non-420 MCU
     layouts — 422 (uniform pairs, static-class fast path), 444 (mixed
-    luma/chroma pair, generic fallback + odd-g dummy), gray (g=1) —
-    against the XLA oracle encoder, rows-restart."""
+    luma/chroma pair, generic fallback + odd-g dummy), 444s (smoothed
+    chroma, XLA pixel fallback), gray (g=1) — against the XLA oracle
+    encoder, rows-restart."""
     import jpegtpu.encoder as enc_mod
     import jpegtpu.kernels.entropy_pack as epk
     from jpegtpu.config import EncoderConfig

@@ -100,11 +100,11 @@ def mcu_operator(quality: int, subsampling: str) -> Tuple[np.ndarray, np.ndarray
 
 
 def mcu_tiles(img: jax.Array, mh: int, mw: int) -> jax.Array:
-    """uint8 [..., H, W, 3] (padded) -> [..., nMCU, mh*mw*3]."""
-    *b, h, w, _ = img.shape
-    x = img.reshape(*b, h // mh, mh, w // mw, mw, 3)
+    """[..., H, W, C] (padded) -> [..., nMCU, mh*mw*C]."""
+    *b, h, w, ch = img.shape
+    x = img.reshape(*b, h // mh, mh, w // mw, mw, ch)
     x = jnp.swapaxes(x, -4, -3)
-    return x.reshape(*b, (h // mh) * (w // mw), mh * mw * 3)
+    return x.reshape(*b, (h // mh) * (w // mw), mh * mw * ch)
 
 
 def _pixel_kernel(x_ref, m_ref, b_ref, o_ref, scr, *, r_blk, nrx, mh,
@@ -495,8 +495,21 @@ def encode_blocks(img: jax.Array, quality: int, subsampling: str) -> jax.Array:
     quantized zigzag coefficients — identical to ops.encode_blocks, computed
     as one fused matmul."""
     if subsampling in ("444s", "gray"):
-        # 444s smoothing has image-global edge semantics that don't fold
-        # into a per-MCU operator; gray is already a single matmul in ops.
+        # gray is already a single matmul in ops. 444s stays on the
+        # staged oracle path: a FUSED formulation was built and
+        # HW-measured in round 5 (6-channel [orig | smoothed] operator
+        # — smoothing commutes with the per-pixel linear CSC) in three
+        # forms — 5-D reshape/mean, strided-slice+repeat, and flat
+        # [H, W*3] rolls — and every one measured NEUTRAL-OR-WORSE
+        # (48 / 176 / 48 ms/4K vs 46.7 staged; ab_444s{,2,3}.log +
+        # trace_444s{,2}.log): the dominant cost is the MCU-TILES
+        # transpose of f32 operands (~28 ms of XLA relayout/copy
+        # chains), which ANY XLA formulation of a float pixel
+        # front-end pays. The real fix is a 444s variant of the
+        # natural-layout Pallas kernel fed u8 with in-operator 2x2
+        # averaging (the 420 trick), made exact for odd edges by
+        # duplicate-padding odd dimensions first (avg(c, c) == c ==
+        # passthrough) — recorded as a round-6 candidate.
         return ops.encode_blocks(img, quality, subsampling)
     mh, mw = ops.mcu_shape(subsampling)
     n_luma = {"420": 4, "422": 2}.get(subsampling, 1)

@@ -410,6 +410,10 @@ def test_compact_stuffed_batched_images():
 @pytest.mark.parametrize("subsampling", ["444", "422", "420"])
 @pytest.mark.parametrize("quality", [35, 90])
 def test_fused_dctq_matches_ops(subsampling, quality):
+    # 444s is deliberately absent: encode_blocks DELEGATES it to ops
+    # (the fused formulation tested neutral-or-worse on HW — see the
+    # encode_blocks fallback comment), so a 444s case here would be a
+    # vacuous ops-vs-ops comparison.
     rng = np.random.default_rng(quality)
     img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
     a = np.asarray(ops.encode_blocks(img, quality, subsampling))

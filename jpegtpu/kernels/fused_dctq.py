@@ -53,7 +53,17 @@ def mcu_operator(quality: int, subsampling: str) -> Tuple[np.ndarray, np.ndarray
         (mh, mw), n_luma = (16, 16), 4
     elif subsampling == "422":
         (mh, mw), n_luma = (8, 16), 2
-    elif subsampling == "444":
+    elif subsampling in ("444", "444s"):
+        # 444s here = in-OPERATOR 2x2 chroma smoothing (round 5): the
+        # smoothed sample S[q] is the average of q's 2x2 block, so each
+        # input pixel p feeds the chroma DCT rows of ALL FOUR positions
+        # of its block at weight 0.25 — exactly the 420 trick with
+        # full-resolution output. VALID ONLY when the image needs no
+        # padding and has no odd edges (H % 8 == 0 and W % 8 == 0 —
+        # every production video size): with padding or odd dims the
+        # reference smooths BEFORE mirror-padding and passes odd edges
+        # through, which a uniform per-MCU operator cannot express
+        # (callers fall back to ops there; see encode_blocks).
         (mh, mw), n_luma = (8, 8), 1
     else:
         raise ValueError(f"unsupported fused subsampling {subsampling!r}")
@@ -82,17 +92,25 @@ def mcu_operator(quality: int, subsampling: str) -> Tuple[np.ndarray, np.ndarray
         # Chroma blocks: (possibly averaged) samples. The +128 chroma offset
         # cancels the -128 level shift exactly, so no bias term.
         if subsampling == "420":
-            samp = (ys // 2) * 8 + (xs // 2)
+            m_sel = m_c[((ys // 2) * 8 + (xs // 2)).ravel(), :]
             scale = 0.25
         elif subsampling == "422":
-            samp = ys * 8 + (xs // 2)
+            m_sel = m_c[(ys * 8 + (xs // 2)).ravel(), :]
             scale = 0.5
+        elif subsampling == "444s":
+            # pixel p contributes to its block's 4 sample rows (see the
+            # dispatch comment): sum the 4 DCT rows, weight 0.25
+            by, bx = (ys // 2) * 2, (xs // 2) * 2
+            m_sel = sum(
+                m_c[((by + dy) * 8 + (bx + dx)).ravel(), :]
+                for dy in (0, 1) for dx in (0, 1))
+            scale = 0.25
         else:
-            samp = ys * 8 + xs
+            m_sel = m_c[(ys * 8 + xs).ravel(), :]
             scale = 1.0
         for comp, col in ((1, n_luma), (2, n_luma + 1)):
             big[pix.ravel(), col * 64:(col + 1) * 64] += \
-                scale * w[c, comp] * m_c[samp.ravel(), :]
+                scale * w[c, comp] * m_sel
 
     for blk in range(n_luma):
         bias[blk * 64:(blk + 1) * 64] = b_l
@@ -424,7 +442,10 @@ def encode_blocks_pallas_nat_pairs(img: jax.Array, quality: int,
     in-kernel swapaxes yields (x-major within row_bytes) == the same
     (y, x, c) order per MCU row, since row_bytes = mw*3 spans one MCU's
     row exactly: scr[j, y*row_bytes + (x*3+c)] = img[.., y, j*mw+x, c]."""
-    if subsampling not in ("420", "422", "444"):
+    nat_ok = subsampling in ("420", "422", "444") or (
+        subsampling == "444s" and
+        not (img.shape[-3] % 8 or img.shape[-2] % 8))
+    if not nat_ok:
         c = encode_blocks(img, quality, subsampling)
         *b, n_mcu, nb, _ = c.shape
         y = c.reshape(*b, n_mcu, nb * 64)
@@ -494,22 +515,19 @@ def encode_blocks(img: jax.Array, quality: int, subsampling: str) -> jax.Array:
     """uint8 RGB [..., H, W, 3] -> int32 [..., nMCU, B, 64] scan-order
     quantized zigzag coefficients — identical to ops.encode_blocks, computed
     as one fused matmul."""
-    if subsampling in ("444s", "gray"):
-        # gray is already a single matmul in ops. 444s stays on the
-        # staged oracle path: a FUSED formulation was built and
-        # HW-measured in round 5 (6-channel [orig | smoothed] operator
-        # — smoothing commutes with the per-pixel linear CSC) in three
-        # forms — 5-D reshape/mean, strided-slice+repeat, and flat
-        # [H, W*3] rolls — and every one measured NEUTRAL-OR-WORSE
-        # (48 / 176 / 48 ms/4K vs 46.7 staged; ab_444s{,2,3}.log +
-        # trace_444s{,2}.log): the dominant cost is the MCU-TILES
-        # transpose of f32 operands (~28 ms of XLA relayout/copy
-        # chains), which ANY XLA formulation of a float pixel
-        # front-end pays. The real fix is a 444s variant of the
-        # natural-layout Pallas kernel fed u8 with in-operator 2x2
-        # averaging (the 420 trick), made exact for odd edges by
-        # duplicate-padding odd dimensions first (avg(c, c) == c ==
-        # passthrough) — recorded as a round-6 candidate.
+    if subsampling == "gray" or (
+            subsampling == "444s" and
+            (img.shape[-3] % 8 or img.shape[-2] % 8)):
+        # gray is already a single matmul in ops. 444s takes the fused
+        # in-operator-smoothing path ONLY for 8-aligned images (no
+        # padding, no odd edges — see the mcu_operator "444s" branch);
+        # otherwise the staged oracle reproduces the reference's
+        # smooth-before-pad + odd-edge-passthrough semantics exactly.
+        # (Round-5 note: a general fused form feeding an explicitly
+        # smoothed f32 image was HW-measured in three formulations and
+        # every one lost ~28 ms/4K to the MCU-tiles transpose of f32
+        # operands — ab_444s{,2,3}.log; u8 input + in-operator
+        # averaging is the only fast formulation.)
         return ops.encode_blocks(img, quality, subsampling)
     mh, mw = ops.mcu_shape(subsampling)
     n_luma = {"420": 4, "422": 2}.get(subsampling, 1)

@@ -37,18 +37,22 @@ def main():
     cfg = EncoderConfig(quality=90, subsampling="444s",
                         restart_interval="rows")
 
-    # Byte gate: Pallas entropy tier vs XLA entropy tier (shared pixel
-    # front-end -> must be identical), on the small reference image.
+    # Byte gates: Pallas entropy tier vs XLA entropy tier (shared pixel
+    # front-end -> must be identical). Full fruit (253x254) exercises
+    # the non-8-aligned ops-fallback front-end; the 248x248 crop the
+    # fused in-operator-smoothing front-end + nat Pallas kernel.
     from jpegtpu.io import ppm
     fruit = ppm.read_pnm("/root/reference/data/fruit.ppm")
-    got = enc_mod.Encoder(cfg).encode(fruit)
-    want = enc_mod.Encoder(EncoderConfig(
-        quality=90, subsampling="444s", restart_interval="rows",
-        device_bitpack=False)).encode(fruit)
-    ok = got == want
-    log(f"fruit 444s tiers: {'BYTES MATCH' if ok else 'MISMATCH'} "
-        f"({len(got)} B)")
-    assert ok
+    for name, src in (("fruit-odd", fruit),
+                      ("fruit-248crop", fruit[:248, :248])):
+        got = enc_mod.Encoder(cfg).encode(src)
+        want = enc_mod.Encoder(EncoderConfig(
+            quality=90, subsampling="444s", restart_interval="rows",
+            device_bitpack=False)).encode(src)
+        ok = got == want
+        log(f"{name} 444s tiers: {'BYTES MATCH' if ok else 'MISMATCH'} "
+            f"({len(got)} B)")
+        assert ok
 
     # PSNR sanity on the 4K content through the device pipeline.
     jpg = enc_mod.Encoder(cfg).encode(img)

@@ -407,13 +407,13 @@ def test_compact_stuffed_batched_images():
     assert raw[off[1]:] == expected_imgs[1]
 
 
-@pytest.mark.parametrize("subsampling", ["444", "422", "420"])
+@pytest.mark.parametrize("subsampling", ["444", "422", "420", "444s"])
 @pytest.mark.parametrize("quality", [35, 90])
 def test_fused_dctq_matches_ops(subsampling, quality):
-    # 444s is deliberately absent: encode_blocks DELEGATES it to ops
-    # (the fused formulation tested neutral-or-worse on HW — see the
-    # encode_blocks fallback comment), so a 444s case here would be a
-    # vacuous ops-vs-ops comparison.
+    # (32, 48) is 8-aligned, so 444s takes the fused in-operator-
+    # smoothing path here — a REAL comparison against the staged
+    # smooth-then-DCT oracle (mean-vs-CSC rounding reorder lands in the
+    # same tolerance class as the other modes' staged-vs-fused skew).
     rng = np.random.default_rng(quality)
     img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
     a = np.asarray(ops.encode_blocks(img, quality, subsampling))
@@ -423,6 +423,17 @@ def test_fused_dctq_matches_ops(subsampling, quality):
     d = np.abs(a - b)
     assert d.max() <= 1
     assert (d > 0).mean() < 1e-3
+
+
+def test_fused_dctq_444s_odd_sizes_delegate_to_ops():
+    """Non-8-aligned 444s must take the staged oracle path EXACTLY (the
+    reference smooths before mirror-padding and passes odd edges
+    through — semantics a uniform per-MCU operator cannot express)."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    a = np.asarray(ops.encode_blocks(img, 75, "444s"))
+    b = np.asarray(fused_dctq.encode_blocks(jnp.asarray(img), 75, "444s"))
+    np.testing.assert_array_equal(a, b)
 
 
 def test_fused_dctq_odd_sizes():
@@ -475,6 +486,7 @@ def test_pixel_kernel_dma_bit_exact_vs_twin(shape, quality):
     ("420", (16, 96, 3)),     # nrx=6 % 8 != 0: XLA fallback
     ("422", (32, 128, 3)),    # grp=8 (48 B rows)
     ("444", (17, 250, 3)),    # grp=16 (24 B rows), nrx=32
+    ("444s", (32, 128, 3)),   # 8-aligned: in-operator smoothing path
 ])
 @pytest.mark.parametrize("quality", [35, 90])
 def test_pixel_kernel_nat_bit_exact_vs_twin(sub, shape, quality):
